@@ -1,0 +1,147 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``KinFuParams`` knob set (see
+/root/reference/kfusion/include/kfusion/kinfu.hpp:15-47 and the two presets in
+/root/reference/kfusion/src/kinfu.cpp:14-89) as a frozen dataclass that is
+hashable, so a config can be a static argument to ``jax.jit``.
+
+All distances are meters, angles radians, image sizes pixels. Depth input is
+uint16 millimeters (the Kinect convention the reference uses throughout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Intrinsics:
+    """Pinhole camera intrinsics.
+
+    Equivalent of the reference's ``kfusion::Intr``
+    (/root/reference/kfusion/include/kfusion/types.hpp:20-29); ``level``
+    reproduces ``Intr::operator()(int)``
+    (/root/reference/kfusion/src/precomp.cpp:10-14): all four parameters are
+    divided by ``2**level_index`` for pyramid levels.
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+    def level(self, level_index: int) -> "Intrinsics":
+        div = float(1 << level_index)
+        return Intrinsics(self.fx / div, self.fy / div, self.cx / div, self.cy / div)
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicFusionConfig:
+    """All pipeline knobs, defaulting to the reference's dynamicfusion preset
+    (/root/reference/kfusion/src/kinfu.cpp:14-49)."""
+
+    # Frame geometry
+    rows: int = 480
+    cols: int = 640
+    intr: Intrinsics = Intrinsics(570.342, 570.342, 320.0, 240.0)
+
+    # TSDF volume: cubic grid of volume_dims voxels spanning volume_size meters,
+    # positioned with its (0,0,0) voxel at volume_origin in world coordinates
+    # (the reference's volume_pose translate(-s/2, -s/2, 0.5)).
+    volume_dims: int = 256
+    volume_size: float = 1.0
+    volume_origin: Tuple[float, float, float] = (-0.5, -0.5, 0.5)
+
+    # Depth preprocessing
+    bilateral_sigma_depth: float = 0.04      # meters
+    bilateral_sigma_spatial: float = 4.5     # pixels
+    bilateral_kernel_size: int = 7           # pixels
+    icp_truncate_depth_dist: float = 0.0     # meters; 0 = disabled
+    pyramid_levels: int = 4
+
+    # Rigid ICP
+    icp_dist_thres: float = 0.1                          # meters
+    icp_angle_thres: float = math.radians(30.0)          # radians
+    icp_iters: Tuple[int, ...] = (10, 5, 4, 0)           # fine -> coarse
+
+    # TSDF integration
+    tsdf_trunc_dist: float = 0.04    # meters
+    tsdf_max_weight: int = 64        # frames
+    tsdf_min_camera_movement: float = 0.0
+
+    # Raycasting
+    raycast_step_factor: float = 0.75     # in truncation distances
+    gradient_delta_factor: float = 0.5    # in voxel sizes
+
+    # Warp field. KNN k matches the reference's KNN_NEIGHBOURS=8
+    # (/root/reference/kfusion/include/kfusion/warp_field.hpp:10). node_radius
+    # is dg_w; the reference hardcodes 3.0 via a FIXME
+    # (/root/reference/kfusion/src/warp_field.cpp:44-48); the paper uses a
+    # multiple of the node-sampling resolution. Exposed as an explicit knob.
+    knn_k: int = 8
+    max_nodes: int = 1024          # static node capacity (padded+masked)
+    node_sample_step: int = 50     # sample every Nth surface vertex as a node
+    node_radius: float = 3.0       # dg_w, meters (reference FIXME value)
+    node_coverage: float = 0.025   # meters; insertion radius for new nodes
+
+    # Non-rigid Gauss-Newton / LM solver (replaces Ceres + Opt/Terra; the
+    # reference's schedule is nonLinearIter=5, linearIter=100 PCG, LM
+    # (/root/reference/kfusion/src/kinfu.cpp:114-121)).
+    solver_nonlinear_iters: int = 5
+    solver_linear_iters: int = 100
+    solver_lm_lambda_init: float = 1e-4
+    solver_function_tolerance: float = 1e-6
+    solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
+    solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
+    solver_arap_weight: float = 200.0   # lambda for the regularization term
+    point_to_plane: bool = True         # paper data term; False = point-to-point
+
+    # KNN field for voxel-space DQB: computed on a coarse grid of
+    # volume_dims // knn_field_stride cells and gathered at full resolution.
+    knn_field_stride: int = 4
+
+    # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
+    light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # Numerics
+    use_bf16_tsdf: bool = False
+
+    def __post_init__(self):
+        assert self.volume_dims % 32 == 0, "volume_dims must be divisible by 32"
+        assert len(self.icp_iters) == self.pyramid_levels
+
+    @property
+    def voxel_size(self) -> float:
+        return self.volume_size / self.volume_dims
+
+    @classmethod
+    def default_dynamicfusion(cls) -> "DynamicFusionConfig":
+        """The reference's dynamicfusion preset (kinfu.cpp:14-49)."""
+        return cls()
+
+    @classmethod
+    def default_kinfu(cls) -> "DynamicFusionConfig":
+        """The reference's plain-KinectFusion preset (kinfu.cpp:56-89)."""
+        return cls(
+            intr=Intrinsics(525.0, 525.0, 640 / 2 - 0.5, 480 / 2 - 0.5),
+            volume_dims=512,
+            volume_size=3.0,
+            volume_origin=(-1.5, -1.5, 0.5),
+        )
+
+    @classmethod
+    def small(cls, dims: int = 64, rows: int = 120, cols: int = 160) -> "DynamicFusionConfig":
+        """A scaled-down preset for tests: same structure, tiny shapes."""
+        scale = cols / 640.0
+        return cls(
+            rows=rows,
+            cols=cols,
+            intr=Intrinsics(570.342 * scale, 570.342 * scale, cols / 2.0, rows / 2.0),
+            volume_dims=dims,
+            max_nodes=128,
+            node_sample_step=11,
+            solver_linear_iters=32,
+            knn_field_stride=2,
+        )
