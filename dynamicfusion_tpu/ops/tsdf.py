@@ -1,0 +1,341 @@
+"""TSDF volume ops: rigid integrate, raycast, trilinear sampling, extraction.
+
+TPU-native redesign of /root/reference/kfusion/src/cuda/tsdf_volume.cu.
+Differences from the CUDA design, driven by the hardware:
+
+- ``integrate``: the CUDA kernel marches one thread down each z-column
+  reading depth through a texture. Here every voxel is independent: voxel
+  camera coordinates are built by broadcasting three iotas through the
+  vol2cam rotation (no (D,D,D,3) coordinate tensor is materialized — XLA
+  fuses the affine into the elementwise update), followed by one gather
+  from the dists image. No atomics, no textures.
+- ``raycast``: the per-pixel ray march with data-dependent trip count
+  becomes a fixed-trip ``lax.fori_loop`` over the worst-case step count
+  with a ``done`` mask (all pixels march in lockstep; each step is one
+  nearest-neighbor gather for the whole image).
+- ``extract_cloud``: the warp-scan/atomic compaction (FullScan6,
+  tsdf_volume.cu:486-815) becomes a dense crossing mask + ``jnp.nonzero``
+  with a static size cap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.core import se3
+from dynamicfusion_tpu.models import volume as volume_model
+from dynamicfusion_tpu.models.volume import TsdfVolume
+
+NAN = jnp.nan
+
+
+# --------------------------------------------------------------------------
+# sampling helpers
+# --------------------------------------------------------------------------
+
+
+def fetch_nearest(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor TSDF fetch at (possibly fractional) voxel coords
+    (..., 3) (TsdfRaycaster::fetch_tsdf, tsdf_volume.cu:333-340 — round to
+    nearest; indices clipped for safety where the reference relies on the
+    caller staying in-bounds)."""
+    d = tsdf.shape[0]
+    idx = jnp.clip(jnp.round(p_voxels).astype(jnp.int32), 0, d - 1)
+    flat = (idx[..., 0] * d + idx[..., 1]) * d + idx[..., 2]
+    return jnp.take(tsdf.reshape(-1), flat)
+
+
+def interpolate(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear TSDF interpolation at fractional voxel coords (..., 3);
+    NaN outside the valid interpolation region (interpolate,
+    tsdf_volume.cu:221-245)."""
+    d = tsdf.shape[0]
+    g = jnp.floor(p_voxels)
+    gi = g.astype(jnp.int32)
+    f = p_voxels - g
+
+    oob = (
+        (gi[..., 0] < 0) | (gi[..., 0] >= d - 1)
+        | (gi[..., 1] < 0) | (gi[..., 1] >= d - 1)
+        | (gi[..., 2] < 0) | (gi[..., 2] >= d - 1)
+    )
+    gi = jnp.clip(gi, 0, d - 2)
+
+    flat_vol = tsdf.reshape(-1)
+    base = (gi[..., 0] * d + gi[..., 1]) * d + gi[..., 2]
+    a, b, c = f[..., 0], f[..., 1], f[..., 2]
+
+    out = jnp.zeros(p_voxels.shape[:-1], dtype=jnp.float32)
+    for dx in (0, 1):
+        wx = a if dx else (1.0 - a)
+        for dy in (0, 1):
+            wy = b if dy else (1.0 - b)
+            for dz in (0, 1):
+                wz = c if dz else (1.0 - c)
+                val = jnp.take(flat_vol, base + (dx * d + dy) * d + dz)
+                out = out + val.astype(jnp.float32) * (wx * wy * wz)
+    return jnp.where(oob, NAN, out)
+
+
+def gradient(tsdf: jnp.ndarray, p_voxels: jnp.ndarray, delta_voxels: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference TSDF gradient (unnormalized) at voxel coords
+    (TsdfRaycaster::compute_normal, tsdf_volume.cu:408-426)."""
+    comps = []
+    for axis in range(3):
+        e = jnp.zeros(3, jnp.float32).at[axis].set(1.0) * delta_voxels[axis]
+        f1 = interpolate(tsdf, p_voxels + e)
+        f2 = interpolate(tsdf, p_voxels - e)
+        comps.append(f1 - f2)
+    return jnp.stack(comps, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# integrate
+# --------------------------------------------------------------------------
+
+
+def integrate(
+    cfg: DynamicFusionConfig,
+    vol: TsdfVolume,
+    dists: jnp.ndarray,
+    vol2cam: jnp.ndarray,
+    intr: Intrinsics,
+) -> TsdfVolume:
+    """Rigid projective TSDF fusion of one dists image
+    (TsdfIntegrator, tsdf_volume.cu:51-107).
+
+    ``vol2cam``: (4,4) mapping volume-frame meters to camera frame
+    (``camera_pose.inv() * volume_pose``, tsdf_volume.cpp:112).
+    Per voxel: project center into the image, nearest-fetch the ray
+    distance Dp, sdf = Dp - |v_cam|, and fold min(1, sdf/trunc) into the
+    running average where sdf >= -trunc."""
+    d = cfg.volume_dims
+    vs = cfg.voxel_size
+    trunc = volume_model.trunc_dist(cfg)
+    rows, cols = dists.shape
+
+    r = vol2cam[:3, :3] * vs
+    t = vol2cam[:3, 3]
+    i = jnp.arange(d, dtype=jnp.float32)[:, None, None]
+    j = jnp.arange(d, dtype=jnp.float32)[None, :, None]
+    k = jnp.arange(d, dtype=jnp.float32)[None, None, :]
+
+    # camera-frame voxel centers, built without a (D,D,D,3) intermediate
+    vc = [r[a, 0] * i + r[a, 1] * j + r[a, 2] * k + t[a] for a in range(3)]
+    x, y, z = vc
+
+    u = x * intr.fx / z + intr.cx
+    v = y * intr.fy / z + intr.cy
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    inb = (u >= 0) & (v >= 0) & (u < cols) & (v < rows) & (z > 0)
+
+    flat = jnp.clip(vi, 0, rows - 1) * cols + jnp.clip(ui, 0, cols - 1)
+    dp = jnp.take(dists.reshape(-1), flat)
+
+    sdf = dp - jnp.sqrt(x * x + y * y + z * z)
+    update = inb & (dp != 0.0) & (sdf >= -trunc)
+
+    tsdf_new_obs = jnp.minimum(1.0, sdf / trunc)
+    w = vol.weight
+    tsdf_f32 = vol.tsdf.astype(jnp.float32)
+    fused = (tsdf_f32 * w + tsdf_new_obs) / (w + 1.0)
+    new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
+    new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
+    return TsdfVolume(new_tsdf, new_w)
+
+
+# --------------------------------------------------------------------------
+# raycast
+# --------------------------------------------------------------------------
+
+
+class RaycastResult(NamedTuple):
+    points: jnp.ndarray   # (H, W, 3) camera-frame, NaN invalid
+    normals: jnp.ndarray  # (H, W, 3) camera-frame, NaN invalid
+
+
+def _ray_box(ray_org: jnp.ndarray, ray_dir: jnp.ndarray, box_max: jnp.ndarray):
+    """Slab test against [0, box_max] (intersect, tsdf_volume.cu:202-218,
+    including its tnear quirk of using tmin.x twice — fixed here to the
+    correct max over all three axes)."""
+    inv = 1.0 / jnp.where(jnp.abs(ray_dir) > 1e-12, ray_dir, 1e-12)
+    tbot = inv * (0.0 - ray_org)
+    ttop = inv * (box_max - ray_org)
+    tmin = jnp.minimum(ttop, tbot)
+    tmax = jnp.maximum(ttop, tbot)
+    return jnp.max(tmin, axis=-1), jnp.min(tmax, axis=-1)
+
+
+def raycast(
+    cfg: DynamicFusionConfig,
+    vol: TsdfVolume,
+    cam2vol: jnp.ndarray,
+    intr: Intrinsics,
+    rows: int,
+    cols: int,
+) -> RaycastResult:
+    """Per-pixel ray march for the zero crossing (TsdfRaycaster,
+    tsdf_volume.cu:247-474). Returns points/normals in the *camera* frame
+    (the reference converts with Rinv·(v − t) at tsdf_volume.cu:370-372).
+
+    The march is a fixed-trip fori_loop over the worst-case step count
+    (volume diagonal / step) with per-pixel done-masking; the crossing is
+    refined by linear interpolation of two trilinear samples, the normal
+    from the trilinear gradient."""
+    d = cfg.volume_dims
+    vs = cfg.voxel_size
+    trunc = volume_model.trunc_dist(cfg)
+    step = trunc * cfg.raycast_step_factor
+    vol_size = vs * d
+    tsdf = vol.tsdf.astype(jnp.float32)
+
+    r_cv = cam2vol[:3, :3]
+    ray_org = cam2vol[:3, 3]
+
+    u = jnp.arange(cols, dtype=jnp.float32)[None, :] * jnp.ones((rows, 1), jnp.float32)
+    v = jnp.arange(rows, dtype=jnp.float32)[:, None] * jnp.ones((1, cols), jnp.float32)
+    dirs = jnp.stack(
+        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(u)], axis=-1
+    )
+    dirs = dirs @ r_cv.T
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+    box_max = jnp.full((3,), vol_size - vs, jnp.float32)
+    tmin, tmax = _ray_box(ray_org, dirs, box_max)
+    tmin = jnp.maximum(tmin, 0.0)
+    tmax = tmax - step
+
+    n_steps = int(jnp.ceil(jnp.sqrt(3.0) * vol_size / step)) + 1
+    inv_vs = 1.0 / vs
+
+    def fetch(t):
+        p = (ray_org + dirs * t[..., None]) * inv_vs
+        return fetch_nearest(tsdf, p)
+
+    tsdf0 = fetch(tmin)
+    state = dict(
+        done=(tmin >= tmax),
+        found=jnp.zeros((rows, cols), bool),
+        t_hit=jnp.zeros((rows, cols), jnp.float32),
+        tsdf_prev=tsdf0,
+    )
+
+    def body(i, st):
+        tcurr = tmin + i * step
+        tnext = tcurr + step
+        active = ~st["done"] & (tcurr < tmax)
+        tsdf_next = fetch(tnext)
+        crossing = (st["tsdf_prev"] > 0.0) & (tsdf_next < 0.0) & active
+        behind = (st["tsdf_prev"] < 0.0) & (tsdf_next > 0.0) & active
+        return dict(
+            done=st["done"] | crossing | behind | (tnext >= tmax),
+            found=st["found"] | crossing,
+            t_hit=jnp.where(crossing, tcurr, st["t_hit"]),
+            tsdf_prev=tsdf_next,
+        )
+
+    st = jax.lax.fori_loop(0, n_steps, body, state)
+    found, t_hit = st["found"], st["t_hit"]
+
+    # refine: Ts = t - step*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt
+    p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
+    p_next = (ray_org + dirs * (t_hit + step)[..., None]) * inv_vs
+    ft = interpolate(tsdf, p_curr)
+    ftdt = interpolate(tsdf, p_next)
+    denom = ftdt - ft
+    ts = t_hit - step * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
+
+    vertex_vol = ray_org + dirs * ts[..., None]
+    grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
+    normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+    nn = jnp.linalg.norm(normal_vol, axis=-1, keepdims=True)
+    normal_vol = normal_vol / jnp.maximum(nn, 1e-12)
+
+    valid = found & ~jnp.isnan(normal_vol).any(axis=-1) & (nn[..., 0] > 1e-12)
+
+    # back to camera frame
+    r_vc = r_cv.T
+    vertex_cam = (vertex_vol - ray_org) @ r_vc.T
+    normal_cam = normal_vol @ r_vc.T
+
+    return RaycastResult(
+        points=jnp.where(valid[..., None], vertex_cam, NAN),
+        normals=jnp.where(valid[..., None], normal_cam, NAN),
+    )
+
+
+# --------------------------------------------------------------------------
+# extraction
+# --------------------------------------------------------------------------
+
+
+class ExtractedCloud(NamedTuple):
+    points: jnp.ndarray  # (K, 3) world-frame; rows beyond count are NaN
+    valid: jnp.ndarray   # (K,) bool
+    count: jnp.ndarray   # scalar int32
+
+
+def extract_cloud(
+    cfg: DynamicFusionConfig, vol: TsdfVolume, max_points: int
+) -> ExtractedCloud:
+    """Zero-crossing surface cloud in world coordinates.
+
+    Replaces FullScan6 (tsdf_volume.cu:486-706): for each voxel and each of
+    the +x/+y/+z neighbors, where both voxels are observed and the tsdf
+    changes sign, emit the linearly interpolated crossing. Compaction is
+    ``jnp.nonzero(..., size=max_points)`` — static output shape, padded."""
+    d = cfg.volume_dims
+    vs = cfg.voxel_size
+    tsdf = vol.tsdf.astype(jnp.float32)
+    w = vol.weight
+
+    pts_list = []
+    valid_list = []
+    for axis in range(3):
+        t0 = jax.lax.slice_in_dim(tsdf, 0, d - 1, axis=axis)
+        t1 = jax.lax.slice_in_dim(tsdf, 1, d, axis=axis)
+        w0 = jax.lax.slice_in_dim(w, 0, d - 1, axis=axis)
+        w1 = jax.lax.slice_in_dim(w, 1, d, axis=axis)
+        cross = (w0 > 0) & (w1 > 0) & (t0 * t1 < 0)
+        alpha = t0 / jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 - t1, 1e-12)
+
+        shape = cross.shape
+        ii = jnp.arange(shape[0], dtype=jnp.float32)[:, None, None]
+        jj = jnp.arange(shape[1], dtype=jnp.float32)[None, :, None]
+        kk = jnp.arange(shape[2], dtype=jnp.float32)[None, None, :]
+        idx = [jnp.broadcast_to(ii, shape), jnp.broadcast_to(jj, shape), jnp.broadcast_to(kk, shape)]
+        idx[axis] = idx[axis] + alpha
+        p = jnp.stack(idx, axis=-1) * vs
+        pts_list.append(p.reshape(-1, 3))
+        valid_list.append(cross.reshape(-1))
+
+    pts = jnp.concatenate(pts_list, axis=0)
+    valid = jnp.concatenate(valid_list, axis=0)
+
+    (sel,) = jnp.nonzero(valid, size=max_points, fill_value=-1)
+    ok = sel >= 0
+    out = jnp.take(pts, jnp.maximum(sel, 0), axis=0) + volume_model.origin(cfg)
+    out = jnp.where(ok[..., None], out, NAN)
+    return ExtractedCloud(points=out, valid=ok, count=jnp.sum(valid.astype(jnp.int32)))
+
+
+def extract_normals(
+    cfg: DynamicFusionConfig, vol: TsdfVolume, points_world: jnp.ndarray
+) -> jnp.ndarray:
+    """Normals at extracted world-frame points via the trilinear TSDF
+    gradient (ExtractNormals, tsdf_volume.cu:714-831)."""
+    p_vox = (points_world - volume_model.origin(cfg)) / cfg.voxel_size
+    g = gradient(
+        vol.tsdf.astype(jnp.float32),
+        p_vox,
+        jnp.full((3,), cfg.gradient_delta_factor, jnp.float32),
+    )
+    n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    return n
