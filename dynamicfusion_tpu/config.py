@@ -81,6 +81,7 @@ class DynamicFusionConfig:
     # (/root/reference/kfusion/src/warp_field.cpp:44-48); the paper uses a
     # multiple of the node-sampling resolution. Exposed as an explicit knob.
     knn_k: int = 8
+    knn_method: str = "approx"  # "approx" (lax.approx_max_k, ~10x faster) | "exact"
     max_nodes: int = 1024          # static node capacity (padded+masked)
     node_sample_step: int = 50     # sample every Nth surface vertex as a node
     node_radius: float = 3.0       # dg_w, meters (reference FIXME value)

@@ -68,12 +68,13 @@ def from_rotvec(r: jnp.ndarray) -> jnp.ndarray:
 
     Safe at r = 0 via the sinc expansion."""
     r = jnp.asarray(r, dtype=jnp.float32)
-    angle = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    n2 = jnp.sum(r * r, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    angle = jnp.sqrt(jnp.where(small, 1.0, n2))  # grad-safe at 0
     half = 0.5 * angle
-    # sin(half)/angle with series fallback: 0.5 - angle^2/48 + ...
-    small = angle < 1e-6
-    k = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, _EPS))
-    return jnp.concatenate([jnp.cos(half), r * k], axis=-1)
+    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, r * k], axis=-1)
 
 
 def to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
@@ -96,12 +97,17 @@ def exp_pure(v: jnp.ndarray) -> jnp.ndarray:
     ``exp_pure(v)`` rotates by angle ``2|v|`` about ``v/|v|``. This is the
     parametrization the reference's ``DualQuaternion::from_twist`` uses
     (/root/reference/kfusion/src/utils/dual_quaternion.hpp:212-229) and the
-    one our warp solver optimizes over — it is smooth everywhere."""
+    one our warp solver optimizes over — it is smooth everywhere, and this
+    implementation is differentiable at v = 0 (the solver linearizes exactly
+    there): the norm is taken of a where-guarded value so the sqrt branch
+    never sees 0, and the small branch is a polynomial in |v|^2."""
     v = jnp.asarray(v, dtype=jnp.float32)
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    small = n < 1e-6
-    k = jnp.where(small, 1.0 - n * n / 6.0, jnp.sin(n) / jnp.maximum(n, _EPS))
-    return jnp.concatenate([jnp.cos(n), v * k], axis=-1)
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    k = jnp.where(small, 1.0 - n2 / 6.0, jnp.sin(n) / n)
+    w = jnp.where(small, 1.0 - n2 / 2.0, jnp.cos(n))
+    return jnp.concatenate([w, v * k], axis=-1)
 
 
 def rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,127 @@
+"""Rigid projective point-to-plane ICP (frame-to-model camera tracking).
+
+TPU-native redesign of the reference's ``cuda::ProjectiveICP``
+(/root/reference/kfusion/src/projective_icp.cpp:169-213 and
+/root/reference/kfusion/src/cuda/proj_icp.cu). The reference accumulates the
+6x6 normal equations with 27 hand-written shared-memory tree reductions and
+reads the system back to the host each Gauss-Newton iteration to run
+``cv::solve``; here the residual rows are formed as masked (H, W, 6) arrays,
+the system is one einsum (an MXU matmul), and the 6x6 solve happens on
+device — the whole coarse-to-fine loop lives inside one jit with zero host
+synchronization.
+
+Correspondence and gating match find_coresp (proj_icp.cu:80-108):
+projective association into the previous frame, distance gate
+|s - d|^2 < dist_thres^2, normal gate |cos(n_s, n_d)| > cos(angle_thres).
+Row layout matches icp_helper_kernel (proj_icp.cu:350-371):
+J = [s x n_d, n_d], r = n_d . (d - s).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.core import se3
+
+
+class IcpResult(NamedTuple):
+    transform: jnp.ndarray  # (4, 4) mapping current camera frame -> previous
+    ok: jnp.ndarray         # scalar bool: system stayed well-conditioned
+
+
+def _build_system(
+    intr: Intrinsics,
+    t_cur: jnp.ndarray,
+    curr_pts: jnp.ndarray,
+    curr_nrm: jnp.ndarray,
+    prev_pts: jnp.ndarray,
+    prev_nrm: jnp.ndarray,
+    dist2_thres: float,
+    min_cosine: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One linearization: masked per-pixel rows -> (A, b) of J^T J x = J^T r."""
+    rows, cols = curr_pts.shape[:2]
+
+    s = se3.transform_points(t_cur, curr_pts)
+    valid_s = ~jnp.isnan(curr_pts[..., 0])
+
+    u = s[..., 0] * intr.fx / s[..., 2] + intr.cx
+    v = s[..., 1] * intr.fy / s[..., 2] + intr.cy
+    inb = (s[..., 2] > 0) & (u >= 0) & (v >= 0) & (u < cols) & (v < rows)
+
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cols - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, rows - 1)
+    flat = vi * cols + ui
+    d = jnp.take(prev_pts.reshape(-1, 3), flat, axis=0)
+    nd = jnp.take(prev_nrm.reshape(-1, 3), flat, axis=0)
+    valid_d = ~jnp.isnan(d[..., 0]) & ~jnp.isnan(nd[..., 0])
+
+    dist2 = jnp.sum((s - d) ** 2, axis=-1)
+    ns = se3.rotate_dirs(t_cur, curr_nrm)
+    cosine = jnp.abs(jnp.sum(ns * nd, axis=-1))
+
+    mask = valid_s & inb & valid_d & (dist2 < dist2_thres) & (cosine > min_cosine)
+
+    s0 = jnp.nan_to_num(s)
+    d0 = jnp.nan_to_num(d)
+    nd0 = jnp.nan_to_num(nd)
+    row = jnp.concatenate([jnp.cross(s0, nd0), nd0], axis=-1)  # (H, W, 6)
+    rhs = jnp.sum(nd0 * (d0 - s0), axis=-1)                     # (H, W)
+
+    m = mask.astype(jnp.float32)[..., None]
+    row = row * m
+    a = jnp.einsum("hwi,hwj->ij", row, row)
+    b = jnp.einsum("hwi,hw->i", row, rhs)
+    return a, b
+
+
+def estimate_transform(
+    cfg: DynamicFusionConfig,
+    curr_pts_pyr: List[jnp.ndarray],
+    curr_nrm_pyr: List[jnp.ndarray],
+    prev_pts_pyr: List[jnp.ndarray],
+    prev_nrm_pyr: List[jnp.ndarray],
+) -> IcpResult:
+    """Coarse-to-fine Gauss-Newton (estimateTransform points variant,
+    projective_icp.cpp:169-213). Iteration schedule cfg.icp_iters is
+    fine->coarse like the reference's {10,5,4,0}; levels run coarse->fine.
+
+    Degeneracy: where |det A| < 1e-15 or non-finite, the increment is
+    skipped and ``ok`` goes False (the reference aborts the frame and
+    resets, projective_icp.cpp:197-203 — the caller decides that)."""
+    dist2_thres = cfg.icp_dist_thres * cfg.icp_dist_thres
+    min_cos = math.cos(cfg.icp_angle_thres)
+
+    t = se3.identity()
+    ok = jnp.array(True)
+
+    levels = len(cfg.icp_iters)
+    for level in reversed(range(levels)):
+        iters = cfg.icp_iters[level]
+        intr_l = cfg.intr.level(level)
+        for _ in range(iters):
+            a, b = _build_system(
+                intr_l,
+                t,
+                curr_pts_pyr[level],
+                curr_nrm_pyr[level],
+                prev_pts_pyr[level],
+                prev_nrm_pyr[level],
+                dist2_thres,
+                min_cos,
+            )
+            det = jnp.linalg.det(a)
+            good = jnp.isfinite(det) & (jnp.abs(det) > 1e-15)
+            a_safe = jnp.where(good, a, jnp.eye(6, dtype=a.dtype))
+            b_safe = jnp.where(good, b, jnp.zeros_like(b))
+            x = jnp.linalg.solve(a_safe, b_safe)
+            x = jnp.where(good & jnp.isfinite(x).all(), x, jnp.zeros_like(x))
+            t_inc = se3.exp_twist(x)
+            t = jnp.where(good, se3.compose(t_inc, t), t)
+            ok = ok & good
+    return IcpResult(transform=t, ok=ok)

@@ -1,0 +1,82 @@
+"""Rigid ICP recovery tests on synthetic geometry (no such tests exist in
+the reference; the scenarios mirror its runtime use: frame-to-model
+tracking with small inter-frame motion)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.core import se3
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.ops import preprocess
+from dynamicfusion_tpu.solvers import icp
+
+CFG = DynamicFusionConfig.small(dims=64, rows=120, cols=160)
+# non-spherical scene (two spheres) so all 6 dof are observable
+S1 = dict(center=(0.0, 0.0, 0.9), radius=0.22)
+S2 = dict(center=(0.18, 0.12, 0.75), radius=0.1)
+
+
+def _render(pose_c2w):
+    d = synthetic.scene_depth(
+        CFG.intr, CFG.rows, CFG.cols, pose_c2w, spheres=[S1, S2], plane_z=1.25
+    )
+    return jnp.asarray(d)
+
+
+def _pyramids(depth):
+    _, pts, nrm, _ = preprocess.build_frame_pyramid(CFG, depth)
+    return pts, nrm
+
+
+def _run(pose_curr):
+    prev_pts, prev_nrm = _pyramids(_render(np.eye(4, dtype=np.float32)))
+    curr_pts, curr_nrm = _pyramids(_render(pose_curr))
+    return icp.estimate_transform(CFG, curr_pts, curr_nrm, prev_pts, prev_nrm)
+
+
+def _check(pose_curr, tol_t=0.004, tol_r=0.01):
+    res = _run(pose_curr)
+    assert bool(res.ok)
+    est = np.asarray(res.transform)
+    # ICP returns current-camera -> previous-camera; previous camera is the
+    # world frame here, so est should equal pose_curr (cam2world).
+    gt = np.asarray(pose_curr)
+    t_err = np.linalg.norm(est[:3, 3] - gt[:3, 3])
+    r_err = np.linalg.norm(est[:3, :3] - gt[:3, :3])
+    assert t_err < tol_t, (t_err, est, gt)
+    assert r_err < tol_r, (r_err, est, gt)
+
+
+def test_identity_motion():
+    _check(np.eye(4, dtype=np.float32), tol_t=1e-3, tol_r=1e-3)
+
+
+def test_small_translation():
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.01, -0.008, 0.012]
+    _check(pose)
+
+
+def test_small_rotation():
+    pose = np.eye(4, dtype=np.float32)
+    r = np.asarray(se3.rodrigues(jnp.array([0.0, 0.02, 0.0])))
+    pose[:3, :3] = r
+    _check(pose)
+
+
+def test_combined_motion():
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(se3.rodrigues(jnp.array([0.01, -0.015, 0.008])))
+    pose[:3, 3] = [0.008, 0.005, -0.01]
+    _check(pose)
+
+
+def test_degenerate_input_flags_failure():
+    # all-invalid frames: the 6x6 system is singular -> ok must be False and
+    # the transform must stay finite (identity).
+    nanp = jnp.full((CFG.rows, CFG.cols, 3), jnp.nan)
+    pyr_p = [nanp[:: 2 ** l, :: 2 ** l] for l in range(4)]
+    res = icp.estimate_transform(CFG, pyr_p, pyr_p, pyr_p, pyr_p)
+    assert not bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-6)

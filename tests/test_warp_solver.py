@@ -1,0 +1,191 @@
+"""Warp-solver correctness oracle.
+
+Ports the behavioral scenarios of the reference's solver tests
+(tests/ceres_warp_test.cpp: EnergyDataSingleVertexTest, EnergyDataRigidTest,
+WarpAndReverseTest; tests/warp_test.cpp: MultipleNodesTest, NonRigidTest):
+a cube of 8 deformation nodes (radius dg_w = 3), known displacement fields,
+warped output must match targets within 1e-3.
+
+The reference runs these with its translation-only point-to-point term and
+no regularizer, so the oracle config uses point_to_plane=False and a tiny
+ARAP weight; dedicated tests cover the point-to-plane term and the ARAP
+propagation behavior the reference never implemented.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.core import dualquat
+from dynamicfusion_tpu.models import warpfield
+from dynamicfusion_tpu.solvers import warp_solver
+
+CUBE = np.array(
+    [
+        [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+        [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1],
+    ],
+    np.float32,
+)
+
+ORACLE_CFG = DynamicFusionConfig(
+    volume_dims=64,
+    max_nodes=16,
+    node_sample_step=1,
+    node_radius=3.0,          # the reference's FIXME-hardcoded dg_w
+    knn_k=8,
+    solver_nonlinear_iters=8,
+    solver_linear_iters=60,
+    solver_tukey_c=10.0,       # quadratic regime for the oracle (the
+                               # reference never applies Tukey either)
+    solver_huber_delta=10.0,
+    solver_arap_weight=1e-4,
+    point_to_plane=False,
+    knn_method="exact",
+)
+
+
+def _cube_field(cfg=ORACLE_CFG):
+    return warpfield.init_from_cloud(cfg, jnp.asarray(CUBE), jnp.ones(8, bool))
+
+
+def _solve(field, can, live, normals=None, cfg=ORACLE_CFG, p2pl=False):
+    can = jnp.asarray(can, jnp.float32)
+    live = jnp.asarray(live, jnp.float32)
+    if normals is None:
+        normals = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), can.shape)
+    inputs = warp_solver.WarpSolveInputs(
+        p_can=can, n_can=normals, p_live=live, n_live=normals
+    )
+    return warp_solver.solve(cfg, field, inputs, point_to_plane=p2pl)
+
+
+def test_single_vertex():
+    # EnergyDataSingleVertexTest (ceres_warp_test.cpp:6-52): one vertex at
+    # the origin, target shifted +0.05 in all axes; tol 1e-3.
+    field = _cube_field()
+    can = [[0.0, 0.0, 0.0]]
+    live = [[0.05, 0.05, 0.05]]
+    new_field, stats = _solve(field, can, live)
+    warped = warpfield.warp_points(new_field, jnp.asarray(can, jnp.float32))
+    np.testing.assert_allclose(np.asarray(warped), live, atol=1e-3)
+    assert float(stats.final_cost) < float(stats.initial_cost)
+
+
+def test_rigid_shift():
+    # EnergyDataRigidTest (ceres_warp_test.cpp:56-120)
+    field = _cube_field()
+    can = [[2.0, 2.0, 2.0], [3.0, 3.0, 3.0]]
+    live = [[2.05, 2.05, 2.05], [3.05, 3.05, 3.05]]
+    new_field, _ = _solve(field, can, live)
+    warped = warpfield.warp_points(new_field, jnp.asarray(can, jnp.float32))
+    np.testing.assert_allclose(np.asarray(warped), live, atol=1e-3)
+
+
+def test_warp_and_reverse():
+    # WarpAndReverseTest (ceres_warp_test.cpp:124-206): solve forward then
+    # backward; original geometry must be recovered and the summed node
+    # translations must cancel.
+    field = _cube_field()
+    can = np.array(
+        [[-3, -3, -3], [-2, -2, -2], [0, 0, 0], [2, 2, 2], [3, 3, 3]], np.float32
+    )
+    live = can + 0.05
+
+    f1, _ = _solve(field, can, live)
+    warped = np.asarray(warpfield.warp_points(f1, jnp.asarray(can)))
+    np.testing.assert_allclose(warped, live, atol=1e-3)
+    t_fwd = np.asarray(dualquat.translation(f1.dq[:8]))
+
+    f2, _ = _solve(f1, live, can)
+    back = np.asarray(warpfield.warp_points(f2, jnp.asarray(live)))
+    np.testing.assert_allclose(back, can, atol=1e-3)
+
+    # cancellation: the reverse field's node translations are the negation
+    # of the forward field's (+0.05 forward, -0.05 reverse per node). (The
+    # reference test's literal sum-to-zero assertion doesn't follow from its
+    # own math and its test targets never built — SURVEY §2.9 item 9; the
+    # meaningful spec is the geometric roundtrip above plus this negation.)
+    t_rev = np.asarray(dualquat.translation(f2.dq[:8]))
+    np.testing.assert_allclose(t_rev, -t_fwd, atol=2e-3)
+
+
+def test_multiple_nodes_nonrigid():
+    # NonRigidTest flavor (warp_test.cpp): per-vertex different
+    # displacements; solver must fit a spatially varying field. ARAP off to
+    # match the reference solvers (no reg term), which is also what makes an
+    # exact fit the right expectation (with ARAP on, the prior correctly
+    # biases the 4-point field toward rigidity; covered by the ARAP test).
+    cfg = dataclasses.replace(ORACLE_CFG, solver_arap_weight=0.0)
+    field = _cube_field(cfg)
+    can = np.array(
+        [[-1, -1, -1], [1, 1, 1], [1, -1, 1], [-1, 1, -1]], np.float32
+    ) * 0.8
+    disp = np.array(
+        [[0.03, 0, 0], [0, 0.04, 0], [-0.02, 0.01, 0.02], [0.01, -0.03, 0.01]],
+        np.float32,
+    )
+    live = can + disp
+    new_field, stats = _solve(field, can, live, cfg=cfg)
+    warped = np.asarray(warpfield.warp_points(new_field, jnp.asarray(can)))
+    np.testing.assert_allclose(warped, live, atol=2e-3)
+
+
+def test_point_to_plane_term():
+    # With the paper's point-to-plane term, only the normal component of the
+    # displacement is constrained: a target shifted along its normal must be
+    # matched in the normal direction.
+    field = _cube_field()
+    can = np.array([[0, 0, 0], [0.5, 0.5, 0.5], [-0.5, 0.2, -0.1]], np.float32)
+    n = np.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32), can.shape)
+    live = can + np.array([0, 0, 0.04], np.float32)
+    new_field, stats = _solve(field, can, live, normals=n, p2pl=True)
+    warped = np.asarray(warpfield.warp_points(new_field, jnp.asarray(can)))
+    np.testing.assert_allclose(warped[:, 2], live[:, 2], atol=1e-3)
+    assert float(stats.final_cost) < 1e-6
+
+
+def test_arap_propagates_to_unconstrained_nodes():
+    # The capability the reference never wired in (§2.9 item 8): with the
+    # ARAP term active, nodes with no data constraints must follow their
+    # neighbors instead of staying at identity.
+    cfg = dataclasses.replace(
+        ORACLE_CFG, solver_arap_weight=10.0, solver_nonlinear_iters=12
+    )
+    field = _cube_field(cfg)
+    # constrain only vertices near the +x face of the cube
+    can = np.array([[1.0, 0.0, 0.0], [1.0, 0.5, 0.5], [1.0, -0.5, -0.5]], np.float32)
+    live = can + np.array([0.05, 0.0, 0.0], np.float32)
+    new_field, _ = _solve(field, can, live, cfg=cfg)
+    t = np.asarray(dualquat.translation(new_field.dq[:8]))
+    # -x face nodes (indices 4..7) must have been dragged along by ARAP
+    assert np.all(t[4:, 0] > 0.01), t
+
+
+def test_tukey_rejects_outliers():
+    # A gross outlier correspondence must not corrupt the solution when the
+    # Tukey weight window is tight.
+    cfg = dataclasses.replace(ORACLE_CFG, solver_tukey_c=0.1)
+    field = _cube_field(cfg)
+    can = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0.5], [-0.5, -0.5, -0.5], [0.3, -0.3, 0.1]], np.float32
+    )
+    live = can + 0.02
+    live_outlier = live.copy()
+    live_outlier[3] = can[3] + np.array([5.0, -5.0, 5.0], np.float32)  # garbage
+    new_field, _ = _solve(field, can, live_outlier, cfg=cfg)
+    warped = np.asarray(warpfield.warp_points(new_field, jnp.asarray(can)))
+    np.testing.assert_allclose(warped[:3], live[:3], atol=2e-3)
+
+
+def test_nan_points_ignored():
+    field = _cube_field()
+    can = np.array([[0, 0, 0], [np.nan, 0, 0]], np.float32)
+    live = np.array([[0.05, 0.05, 0.05], [np.nan, 0, 0]], np.float32)
+    new_field, _ = _solve(field, can, live)
+    warped = np.asarray(
+        warpfield.warp_points(new_field, jnp.asarray([[0.0, 0.0, 0.0]]))
+    )
+    np.testing.assert_allclose(warped, [[0.05, 0.05, 0.05]], atol=1e-3)

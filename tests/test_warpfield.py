@@ -1,0 +1,116 @@
+"""Warp-field model tests: KNN correctness, weighting, DQB warp, insertion."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.core import dualquat
+from dynamicfusion_tpu.models import warpfield
+
+CFG = DynamicFusionConfig.small()
+
+CUBE = np.array(
+    [
+        [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+        [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1],
+    ],
+    np.float32,
+)
+
+
+def _cube_field():
+    cfg = DynamicFusionConfig(volume_dims=64, max_nodes=16, node_sample_step=1)
+    return warpfield.init_from_cloud(cfg, jnp.asarray(CUBE), jnp.ones(8, bool))
+
+
+def test_init_from_cloud():
+    f = _cube_field()
+    assert int(f.count) == 8
+    assert bool(f.active[:8].all()) and not bool(f.active[8:].any())
+    np.testing.assert_allclose(np.asarray(f.positions[:8]), CUBE, atol=1e-6)
+
+
+def test_knn_exact_vs_numpy():
+    f = _cube_field()
+    rng = np.random.RandomState(0)
+    q = rng.randn(50, 3).astype(np.float32)
+    d2, idx = warpfield.knn(f, jnp.asarray(q), k=4)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    ref = np.sum((q[:, None, :] - CUBE[None]) ** 2, axis=-1)
+    ref_idx = np.argsort(ref, axis=1)[:, :4]
+    ref_d2 = np.take_along_axis(ref, ref_idx, axis=1)
+    np.testing.assert_allclose(np.sort(d2, axis=1), np.sort(ref_d2, axis=1), rtol=2e-5, atol=1e-5)
+    # indices agree as sets (ties may reorder)
+    for a, b in zip(idx, ref_idx):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_knn_ignores_inactive():
+    f = _cube_field()
+    # deactivate node 0 (1,1,1); query right on it must not return it
+    f = f._replace(active=f.active.at[0].set(False))
+    d2, idx = warpfield.knn(f, jnp.asarray([[1.0, 1.0, 1.0]]), k=8)
+    assert 0 not in np.asarray(idx)[0][np.asarray(d2)[0] < 1e8].tolist()
+
+
+def test_weighting_formula():
+    f = _cube_field()
+    d2 = jnp.array([[0.5, 1.0]])
+    idx = jnp.array([[0, 1]])
+    w = np.asarray(warpfield.weights_from_dist2(f, d2, idx))
+    r = CFG.node_radius
+    np.testing.assert_allclose(w, np.exp(-np.array([[0.5, 1.0]]) / (2 * r * r)), rtol=1e-6)
+
+
+def test_warp_identity_field_is_noop():
+    f = _cube_field()
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(20, 3).astype(np.float32))
+    nrm = jnp.asarray(rng.randn(20, 3).astype(np.float32))
+    wp, wn = warpfield.warp_points(f, pts, nrm)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(pts), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wn), np.asarray(nrm), atol=1e-5)
+
+
+def test_warp_uniform_translation():
+    f = _cube_field()
+    t = jnp.array([0.05, -0.02, 0.1])
+    dq = dualquat.from_twist(jnp.zeros(3), t)
+    f = f._replace(dq=jnp.where(f.active[:, None], dq, f.dq))
+    pts = jnp.asarray(np.array([[0, 0, 0], [2, 2, 2], [-1, 0.5, 0.3]], np.float32))
+    wp = warpfield.warp_points(f, pts)
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(pts + t), atol=1e-5)
+
+
+def test_warp_nan_passthrough():
+    f = _cube_field()
+    pts = jnp.array([[np.nan, 0, 0], [0, 0, 0]])
+    wp = warpfield.warp_points(f, pts)
+    assert np.isnan(np.asarray(wp)[0]).all()
+    assert not np.isnan(np.asarray(wp)[1]).any()
+
+
+def test_insert_nodes_coverage():
+    cfg = DynamicFusionConfig(volume_dims=64, max_nodes=32, node_coverage=0.1, node_sample_step=1)
+    f = warpfield.init_from_cloud(cfg, jnp.asarray(CUBE), jnp.ones(8, bool))
+    # candidates: one far point (uncovered), one on an existing node (covered),
+    # and two near-duplicates in the same coverage cell (only one survives)
+    cand = jnp.asarray(
+        np.array(
+            [[3.0, 3.0, 3.0], [1.0, 1.0, 1.0], [5.0, 5.0, 5.0], [5.01, 5.02, 5.0]],
+            np.float32,
+        )
+    )
+    f2 = warpfield.insert_nodes(cfg, f, cand, jnp.ones(4, bool))
+    assert int(f2.count) == 10  # 8 + far + one of the duplicates
+    new_pos = np.asarray(f2.positions[8:10])
+    assert {tuple(np.round(p).astype(int)) for p in new_pos} == {(3, 3, 3), (5, 5, 5)}
+
+
+def test_insert_nodes_respects_capacity():
+    cfg = DynamicFusionConfig(volume_dims=64, max_nodes=9, node_coverage=0.1, node_sample_step=1)
+    f = warpfield.init_from_cloud(cfg, jnp.asarray(CUBE), jnp.ones(8, bool))
+    cand = jnp.asarray(np.array([[3, 3, 3], [4, 4, 4], [5, 5, 5]], np.float32))
+    f2 = warpfield.insert_nodes(cfg, f, cand, jnp.ones(3, bool))
+    assert int(f2.count) == 9  # only one free slot
+    assert bool(f2.active.all())
