@@ -1,0 +1,132 @@
+"""Benchmark: full non-rigid DynamicFusion pipeline throughput on TPU.
+
+Runs the complete per-frame pipeline (preprocess -> rigid ICP -> canonical
+raycast -> non-rigid GN warp solve -> DQB-warped TSDF fusion -> node
+insertion -> model raycast) at the reference workload shape (640x480 depth,
+256^3 voxels over 1 m^3, up to 1024 warp nodes, LM 5 x direct-solve) on a
+synthetic deforming scene, and prints ONE JSON line.
+
+Baseline: the reference (mihaibujanca/dynamicfusion) publishes no numbers;
+its architecture (full-frame host downloads + per-pixel CPU loops per
+frame, kinfu.cpp:353-381) puts it in the seconds-per-frame class — the
+driver-characterized ~10 s/frame => 0.1 fps is used as vs_baseline
+denominator (see BASELINE.md).
+
+Usage: python bench.py [--frames N] [--small] [--dims D] [--nodes N]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"), exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.pipeline import kinfu
+
+REFERENCE_FPS = 0.1  # seconds-per-frame-class reference (BASELINE.md)
+
+
+def build_cfg(args) -> DynamicFusionConfig:
+    if args.small:
+        return dataclasses.replace(
+            DynamicFusionConfig.small(dims=64, rows=120, cols=160),
+            max_nodes=256,
+            node_sample_step=7,
+            solver_nonlinear_iters=args.solver_iters,
+        )
+    return dataclasses.replace(
+        DynamicFusionConfig.default_dynamicfusion(),
+        volume_dims=args.dims,
+        max_nodes=args.nodes,
+        solver_nonlinear_iters=args.solver_iters,
+        solver_point_stride=args.point_stride,
+        node_radius=0.05,
+        node_coverage=0.025,
+        solver_tukey_c=0.05,
+        solver_arap_weight=10.0,
+    )
+
+
+def frames(cfg, n):
+    """Deforming synthetic scene: one large + one oscillating sphere over a
+    plane — same workload shape as the umbrella sequence (dense depth,
+    smooth non-rigid motion)."""
+    out = []
+    for t in range(n):
+        sp = [
+            dict(center=(0.0, 0.0, 0.95), radius=0.22),
+            dict(center=(0.2 + 0.008 * np.sin(0.4 * t), 0.1, 0.8), radius=0.1),
+        ]
+        out.append(
+            jnp.asarray(
+                synthetic.scene_depth(
+                    cfg.intr, cfg.rows, cfg.cols, spheres=sp, plane_z=1.25
+                )
+            )
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--dims", type=int, default=256)
+    ap.add_argument("--nodes", type=int, default=1024)
+    ap.add_argument("--solver-iters", type=int, default=5)
+    ap.add_argument("--point-stride", type=int, default=2)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    cfg = build_cfg(args)
+    df = kinfu.DynamicFusion(cfg)
+    seq = frames(cfg, args.frames + 2)
+
+    t0 = time.time()
+    df(seq[0])              # frame 0 (init path compile)
+    df(seq[1])              # first full step (step compile)
+    _ = float(df.last_outputs.solver_cost1)  # force
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for d in seq[2:]:
+        df(d)
+    # force the chained computation to finish
+    cost = float(df.last_outputs.solver_cost1)
+    icp_ok = bool(df.last_outputs.icp_ok)
+    elapsed = time.time() - t0
+    fps = args.frames / elapsed
+
+    result = {
+        "metric": "full_nonrigid_pipeline_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 1),
+        "config": {
+            "frame": f"{cfg.cols}x{cfg.rows}",
+            "volume": f"{cfg.volume_dims}^3",
+            "nodes": cfg.max_nodes,
+            "solver": f"LM{cfg.solver_nonlinear_iters}xdirect",
+        },
+        "ms_per_frame": round(1000.0 * elapsed / args.frames, 1),
+        "compile_s": round(compile_s, 1),
+        "final_solver_cost": cost,
+        "icp_ok": icp_ok,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,9 +94,11 @@ class DynamicFusionConfig:
     solver_linear_iters: int = 100
     solver_lm_lambda_init: float = 1e-4
     solver_function_tolerance: float = 1e-6
+    solver_point_stride: int = 2        # pixel subsampling for solver data term
     solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
     solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
     solver_arap_weight: float = 200.0   # lambda for the regularization term
+    solver_max_step: float = 0.5        # per-node twist-norm clamp per LM step
     point_to_plane: bool = True         # paper data term; False = point-to-point
 
     # KNN field for voxel-space DQB: computed on a coarse grid of

@@ -81,8 +81,12 @@ def conj(dq: jnp.ndarray) -> jnp.ndarray:
 
 def normalize(dq: jnp.ndarray) -> jnp.ndarray:
     """Project to a unit dual quaternion: divide by |real| and remove the
-    real·dual component so that <real, dual> = 0."""
-    n = jnp.maximum(jnp.linalg.norm(real(dq), axis=-1, keepdims=True), _EPS)
+    real·dual component so that <real, dual> = 0.
+
+    Gradient-safe at |real| = 0 (degenerate all-zero blends pass through
+    unchanged with finite tangents — see quat.normalize)."""
+    n2 = jnp.sum(real(dq) * real(dq), axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.where(n2 < _EPS, 1.0, n2))
     r = real(dq) / n
     d = dual(dq) / n
     d = d - jnp.sum(r * d, axis=-1, keepdims=True) * r

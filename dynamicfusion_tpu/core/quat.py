@@ -42,7 +42,13 @@ def norm(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(q: jnp.ndarray) -> jnp.ndarray:
-    return q / jnp.maximum(norm(q), _EPS)
+    # gradient-safe at q = 0 (returns q unchanged there): the norm is taken
+    # of a where-guarded value so sqrt never differentiates at 0 — NaN
+    # tangents would otherwise poison masked-out lanes in the warp solver's
+    # batched Jacobians (NaN * 0 = NaN).
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    small = n2 < _EPS
+    return q / jnp.sqrt(jnp.where(small, 1.0, n2))
 
 
 def dot(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

@@ -139,6 +139,7 @@ def warp_points(
     normals: jnp.ndarray | None = None,
     k: int = 8,
     chunk: int = 16384,
+    method: str = "exact",
 ):
     """DQB-warp a point set (and optionally normals) by the field
     (WarpField::warp + WarpField::DQB, warp_field.cpp:180-217 — but with
@@ -146,7 +147,7 @@ def warp_points(
     translation sum, see core.dualquat.blend).
 
     NaN inputs produce NaN outputs (invalid pixels pass through)."""
-    d2, idx = knn(field, points, k, chunk)
+    d2, idx = knn(field, points, k, chunk, method=method)
     w = weights_from_dist2(field, d2, idx)
     node_dqs = jnp.take(field.dq, idx, axis=0)  # (P, k, 8)
     blended = dualquat.blend(w, node_dqs)       # (P, 8)

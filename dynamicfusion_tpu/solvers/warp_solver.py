@@ -329,6 +329,10 @@ def solve(
             step,
             0.0,
         )
+        # trust-region clamp: cap each node's twist norm so weakly
+        # constrained nodes can't fly off in a single LM step
+        sn = jnp.linalg.norm(step, axis=-1, keepdims=True)
+        step = step * jnp.minimum(1.0, cfg.solver_max_step / jnp.maximum(sn, 1e-12))
 
         cand = dualquat.normalize(
             dualquat.mul(dualquat.from_twist(step[:, :3], step[:, 3:]), dqs)

@@ -1,0 +1,66 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.pipeline import kinfu
+from dynamicfusion_tpu.utils import checkpoint
+
+CFG = dataclasses.replace(
+    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
+    max_nodes=128,
+    node_sample_step=9,
+    solver_nonlinear_iters=1,
+)
+
+
+def _depth():
+    return jnp.asarray(
+        synthetic.scene_depth(
+            CFG.intr, CFG.rows, CFG.cols,
+            spheres=[dict(center=(0.0, 0.0, 0.9), radius=0.25)], plane_z=1.2,
+        )
+    )
+
+
+def test_save_load_roundtrip(tmp_path):
+    df = kinfu.DynamicFusion(CFG)
+    d = _depth()
+    df(d)
+    df(d)
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save(p, df.state)
+
+    restored = checkpoint.load(p, CFG)
+    np.testing.assert_array_equal(np.asarray(restored.vol.tsdf), np.asarray(df.state.vol.tsdf))
+    np.testing.assert_array_equal(np.asarray(restored.pose), np.asarray(df.state.pose))
+    assert int(restored.frame_idx) == 2
+
+    # resume: a third frame from the restored state runs fine
+    df2 = kinfu.DynamicFusion(CFG)
+    df2.state = restored
+    assert df2(d)
+
+
+def test_load_rejects_wrong_config(tmp_path):
+    df = kinfu.DynamicFusion(CFG)
+    df(_depth())
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save(p, df.state)
+    bad = dataclasses.replace(CFG, volume_dims=32)
+    with pytest.raises(ValueError):
+        checkpoint.load(p, bad)
+
+
+def test_ply_export(tmp_path):
+    pts = np.array([[0, 0, 1], [0.1, 0.2, 0.9], [np.nan, 0, 0]], np.float32)
+    nrm = np.array([[0, 0, -1], [0, 1, 0], [0, 0, 1]], np.float32)
+    p = str(tmp_path / "mesh.ply")
+    checkpoint.save_mesh_ply(p, pts, nrm)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "ply"
+    assert "element vertex 2" in "\n".join(lines)  # NaN row dropped
+    assert len([l for l in lines if not l.startswith(("ply", "format", "element", "property", "end_"))]) == 2

@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests on synthetic scenes — the test layer the
+reference lacks entirely (its end-to-end validation was visual)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.pipeline import kinfu, render
+
+CFG = dataclasses.replace(
+    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
+    max_nodes=256,
+    node_sample_step=7,
+    solver_nonlinear_iters=2,
+    solver_linear_iters=0,  # unused (direct solve)
+    solver_tukey_c=0.05,
+    solver_arap_weight=1.0,
+    node_coverage=0.06,
+    node_radius=0.06,
+)
+SPHERES = [dict(center=(0.0, 0.0, 0.95), radius=0.22), dict(center=(0.2, 0.1, 0.8), radius=0.1)]
+
+
+def _depth(pose=np.eye(4), t=None):
+    if t is None:
+        return synthetic.scene_depth(
+            CFG.intr, CFG.rows, CFG.cols, pose, spheres=SPHERES, plane_z=1.25
+        )
+    # deforming: move the small sphere over time
+    sp = [SPHERES[0], dict(center=(0.2 + 0.01 * t, 0.1, 0.8), radius=0.1)]
+    return synthetic.scene_depth(
+        CFG.intr, CFG.rows, CFG.cols, pose, spheres=sp, plane_z=1.25
+    )
+
+
+def test_static_scene_three_frames():
+    df = kinfu.DynamicFusion(CFG)
+    d = jnp.asarray(_depth())
+    df(d)  # frame 0
+    assert int(df.state.frame_idx) == 1
+    assert int(df.state.warp.count) > 20  # nodes sampled
+
+    ok = df(d)
+    assert ok
+    # static scene, static camera: pose stays ~identity (the model raycast
+    # is quantized to 1.5 cm voxels at this test resolution, so the
+    # frame-to-model ICP carries a small bias)
+    np.testing.assert_allclose(np.asarray(df.get_pose()), np.eye(4), atol=6e-3)
+    # solver on a static scene: tiny final cost
+    assert float(df.last_outputs.solver_cost1) <= float(df.last_outputs.solver_cost0) + 1e-9
+
+    ok = df(d)
+    assert ok
+    # model raycast covers a reasonable portion of the frame
+    pts = np.asarray(df.last_outputs.model_points)
+    assert (~np.isnan(pts[..., 0])).sum() > 2000
+
+
+def test_moving_camera_tracked():
+    df = kinfu.DynamicFusion(CFG)
+    poses = [synthetic.orbit_pose(a, target=(0.0, 0.0, 0.95)) for a in (0.0, 0.015, 0.03)]
+    df(jnp.asarray(_depth(poses[0])))
+    for p in poses[1:]:
+        ok = df(jnp.asarray(_depth(p)))
+        assert ok
+    est = np.asarray(df.get_pose())
+    gt = poses[-1]
+    assert np.linalg.norm(est[:3, 3] - gt[:3, 3]) < 0.01
+    assert np.linalg.norm(est[:3, :3] - gt[:3, :3]) < 0.03
+
+
+def test_deforming_scene_updates_warp():
+    df = kinfu.DynamicFusion(CFG)
+    df(jnp.asarray(_depth(t=0)))
+    costs = []
+    for t in (1.0, 2.0):
+        ok = df(jnp.asarray(_depth(t=t)))
+        assert ok
+        costs.append(
+            (float(df.last_outputs.solver_cost0), float(df.last_outputs.solver_cost1))
+        )
+    # the warp field must have picked up non-identity transforms
+    from dynamicfusion_tpu.core import dualquat
+
+    tmag = np.asarray(
+        jnp.linalg.norm(dualquat.translation(df.state.warp.dq), axis=-1)
+    )
+    active = np.asarray(df.state.warp.active)
+    assert tmag[active].max() > 1e-3
+    # and the solve made clear progress on at least one frame (LM may
+    # legitimately reject all steps on an already-converged frame)
+    assert any(c1 < 0.9 * c0 for c0, c1 in costs), costs
+
+
+def test_render_modes():
+    df = kinfu.DynamicFusion(CFG)
+    d = jnp.asarray(_depth())
+    df(d)
+    df(d)
+    img = np.asarray(df.render(0))
+    assert img.shape == (CFG.rows, CFG.cols, 3) and img.dtype == np.uint8
+    assert img.std() > 1.0  # not a constant image
+    both = np.asarray(df.render(3))
+    assert both.shape == (CFG.rows, CFG.cols * 2, 3)
+
+
+def test_reset():
+    df = kinfu.DynamicFusion(CFG)
+    df(jnp.asarray(_depth()))
+    df.reset()
+    assert int(df.state.frame_idx) == 0
+    assert float(df.state.vol.weight.max()) == 0.0
