@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Dataset demo app — equivalent of the reference's ``apps/demo.cpp``.
+
+Runs DynamicFusion over a VolumeDeform-layout dataset directory
+(``<dir>/depth/*.png`` 16-bit mm, optional ``<dir>/color``), or over a
+synthetic deforming scene with ``--synthetic N``. Renders the fused model
+per frame (Phong + normal colors, the reference's mode 3) and optionally
+saves frames/checkpoints/a final PLY cloud.
+
+Usage:
+  python apps/demo.py <data-dir> [--out out_dir] [--frames N] [--small]
+  python apps/demo.py --synthetic 50 --out /tmp/out
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(".jax_cache"))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import jax.numpy as jnp
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.pipeline import kinfu
+from dynamicfusion_tpu.utils import checkpoint, metrics
+
+
+def build_cfg(args) -> DynamicFusionConfig:
+    if args.small:
+        return dataclasses.replace(
+            DynamicFusionConfig.small(dims=64, rows=120, cols=160),
+            max_nodes=256,
+            node_sample_step=7,
+        )
+    return dataclasses.replace(
+        DynamicFusionConfig.default_dynamicfusion(),
+        node_radius=0.05,
+        node_coverage=0.025,
+        solver_tukey_c=0.05,
+        solver_arap_weight=10.0,
+    )
+
+
+def frame_source(args, cfg):
+    if args.synthetic:
+        def gen():
+            for t in range(args.synthetic):
+                sp = [
+                    dict(center=(0.0, 0.0, 0.95), radius=0.22),
+                    dict(center=(0.2 + 0.008 * np.sin(0.4 * t), 0.1, 0.8), radius=0.1),
+                ]
+                yield synthetic.scene_depth(
+                    cfg.intr, cfg.rows, cfg.cols, spheres=sp, plane_z=1.25
+                )
+        return gen(), args.synthetic
+    from dynamicfusion_tpu.io.dataset import DepthSequence
+
+    seq = DepthSequence(args.data_dir)
+    n = len(seq) if args.frames is None else min(args.frames, len(seq))
+    return (seq.depth(i) for i in range(n)), n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data_dir", nargs="?", help="dataset dir with depth/ (and color/)")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="run N synthetic deforming frames instead of a dataset")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--out", default=None, help="save rendered frames + artifacts here")
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    args = ap.parse_args()
+    if not args.synthetic and not args.data_dir:
+        ap.error("need a data dir or --synthetic N")
+
+    cfg = build_cfg(args)
+    frames, n = frame_source(args, cfg)
+    df = kinfu.DynamicFusion(cfg)
+    timer = metrics.PhaseTimer()
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    t_start = time.time()
+    for i, depth in enumerate(frames):
+        with timer.phase("frame", sync=None):
+            ok = df(jnp.asarray(depth, jnp.uint16))
+        if i > 0 and not ok:
+            print(f"[{i}] tracking failed — reset", flush=True)
+            df.reset()
+            df(jnp.asarray(depth, jnp.uint16))
+            continue
+        if args.out:
+            img = np.asarray(df.render(mode=3))
+            from PIL import Image
+
+            Image.fromarray(img).save(os.path.join(args.out, f"frame_{i:05d}.png"))
+        if args.checkpoint_every and i and i % args.checkpoint_every == 0:
+            checkpoint.save(os.path.join(args.out or ".", f"ckpt_{i:05d}.npz"), df.state)
+        if i % 10 == 0 and i > 0:
+            o = df.last_outputs
+            print(
+                f"[{i}/{n}] {i / (time.time() - t_start):.2f} fps  "
+                f"nodes={int(o.node_count)} solver {float(o.solver_cost0):.4f}->"
+                f"{float(o.solver_cost1):.4f}",
+                flush=True,
+            )
+
+    elapsed = time.time() - t_start
+    print(json.dumps({"frames": n, "fps": round(n / elapsed, 3), "seconds": round(elapsed, 1)}))
+
+    if args.out:
+        from dynamicfusion_tpu.ops import tsdf as tsdf_ops
+
+        cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 20)
+        normals = tsdf_ops.extract_normals(cfg, df.state.vol, cloud.points)
+        checkpoint.save_mesh_ply(
+            os.path.join(args.out, "canonical_cloud.ply"),
+            np.asarray(cloud.points),
+            np.asarray(normals),
+        )
+        checkpoint.save(os.path.join(args.out, "final_state.npz"), df.state)
+        print(f"saved canonical cloud + state to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

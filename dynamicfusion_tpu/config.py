@@ -100,6 +100,11 @@ class DynamicFusionConfig:
     solver_arap_weight: float = 200.0   # lambda for the regularization term
     solver_max_step: float = 0.5        # per-node twist-norm clamp per LM step
     point_to_plane: bool = True         # paper data term; False = point-to-point
+    # Reuse the previous frame's model raycast as the solver's canonical
+    # surface (saves a full 256^3 raycast per frame; the pixel association
+    # then carries one frame of camera motion — negligible at tracking
+    # frame rates). False re-raycasts at the new pose like the reference.
+    reuse_model_raycast: bool = True
 
     # KNN field for voxel-space DQB: computed on a coarse grid of
     # volume_dims // knn_field_stride cells and gathered at full resolution.

@@ -226,36 +226,49 @@ def raycast(
 
     tsdf0 = fetch(tmin)
     state = dict(
+        i=jnp.zeros((), jnp.int32),
+        t=tmin,
         done=(tmin >= tmax),
         found=jnp.zeros((rows, cols), bool),
         t_hit=jnp.zeros((rows, cols), jnp.float32),
+        dt_hit=jnp.full((rows, cols), step, jnp.float32),
         tsdf_prev=tsdf0,
     )
 
-    def body(i, st):
-        tcurr = tmin + i * step
-        tnext = tcurr + step
-        active = ~st["done"] & (tcurr < tmax)
+    def cond(st):
+        return (st["i"] < n_steps) & ~jnp.all(st["done"])
+
+    def body(st):
+        # adaptive march: double the step deep in observed free space
+        # (tsdf ~ +1 means the surface is at least one truncation away);
+        # base step inside/near the band — same crossing-bracketing
+        # guarantee as the reference's fixed trunc*0.75 stepping.
+        dt = jnp.where(st["tsdf_prev"] > 0.99, 2.0 * step, step)
+        tnext = st["t"] + dt
+        active = ~st["done"] & (st["t"] < tmax)
         tsdf_next = fetch(tnext)
         crossing = (st["tsdf_prev"] > 0.0) & (tsdf_next < 0.0) & active
         behind = (st["tsdf_prev"] < 0.0) & (tsdf_next > 0.0) & active
         return dict(
+            i=st["i"] + 1,
+            t=jnp.where(active, tnext, st["t"]),
             done=st["done"] | crossing | behind | (tnext >= tmax),
             found=st["found"] | crossing,
-            t_hit=jnp.where(crossing, tcurr, st["t_hit"]),
-            tsdf_prev=tsdf_next,
+            t_hit=jnp.where(crossing, st["t"], st["t_hit"]),
+            dt_hit=jnp.where(crossing, dt, st["dt_hit"]),
+            tsdf_prev=jnp.where(active, tsdf_next, st["tsdf_prev"]),
         )
 
-    st = jax.lax.fori_loop(0, n_steps, body, state)
-    found, t_hit = st["found"], st["t_hit"]
+    st = jax.lax.while_loop(cond, body, state)
+    found, t_hit, dt_hit = st["found"], st["t_hit"], st["dt_hit"]
 
-    # refine: Ts = t - step*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt
+    # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt
     p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
-    p_next = (ray_org + dirs * (t_hit + step)[..., None]) * inv_vs
+    p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
     ft = interpolate(tsdf, p_curr)
     ftdt = interpolate(tsdf, p_next)
     denom = ftdt - ft
-    ts = t_hit - step * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    ts = t_hit - dt_hit * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
     ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
 
     vertex_vol = ray_org + dirs * ts[..., None]

@@ -128,12 +128,17 @@ def step(
     pose = jnp.where(icp_res.ok, pose, state.pose)
 
     # ---- 3. canonical model surface seen from the new pose ----
-    cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
-    model = tsdf_ops.raycast(cfg, state.vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
-
-    # canonical points/normals in world (= canonical) frame
-    can_pts_w = se3.transform_points(pose, model.points)
-    can_nrm_w = se3.rotate_dirs(pose, model.normals)
+    if cfg.reuse_model_raycast:
+        # the previous frame's model raycast (camera frame at the OLD pose)
+        # doubles as the canonical surface — saves a full-volume raycast;
+        # the association error is one frame of camera motion
+        can_pts_w = se3.transform_points(state.pose, state.prev_points[0])
+        can_nrm_w = se3.rotate_dirs(state.pose, state.prev_normals[0])
+    else:
+        cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
+        model = tsdf_ops.raycast(cfg, state.vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
+        can_pts_w = se3.transform_points(pose, model.points)
+        can_nrm_w = se3.rotate_dirs(pose, model.normals)
     # live surface in world frame
     live_pts_w = se3.transform_points(pose, pts_pyr[0])
     live_nrm_w = se3.rotate_dirs(pose, nrm_pyr[0])
@@ -210,7 +215,15 @@ class DynamicFusion:
     def get_pose(self):
         return self.state.pose
 
-    def render(self, mode: int = 0):
+    def render(self, mode: int = 0, pose=None):
+        """Render the model: from the last raycast (KinFu::renderImage,
+        kinfu.cpp:312-337) or, with `pose`, from an arbitrary viewpoint via
+        a fresh raycast (kinfu.cpp:408-436)."""
         from dynamicfusion_tpu.pipeline import render as render_mod
 
-        return render_mod.render_state(self.cfg, self.state, mode)
+        if pose is None:
+            return render_mod.render_state(self.cfg, self.state, mode)
+        cfg = self.cfg
+        cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), jnp.asarray(pose))
+        res = tsdf_ops.raycast(cfg, self.state.vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
+        return render_mod.render_maps(cfg, res.points, res.normals, mode)

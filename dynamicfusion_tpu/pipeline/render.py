@@ -62,12 +62,14 @@ def tangent_colors(normals: jnp.ndarray) -> jnp.ndarray:
     return (jnp.clip(c, 0, 1) * 255.0).astype(jnp.uint8)
 
 
-def render_state(cfg: DynamicFusionConfig, state, mode: int = 0) -> jnp.ndarray:
-    pts = state.prev_points[0]
-    nrm = state.prev_normals[0]
+def render_maps(cfg: DynamicFusionConfig, pts, nrm, mode: int = 0) -> jnp.ndarray:
     if mode == 2:
         return tangent_colors(nrm)
     img = phong(pts, nrm, cfg.light_pose)
     if mode == 3:
         return jnp.concatenate([img, tangent_colors(nrm)], axis=1)
     return img
+
+
+def render_state(cfg: DynamicFusionConfig, state, mode: int = 0) -> jnp.ndarray:
+    return render_maps(cfg, state.prev_points[0], state.prev_normals[0], mode)

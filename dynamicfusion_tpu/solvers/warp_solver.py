@@ -264,7 +264,7 @@ def solve(
         p = jac.shape[0]
         rd = jac.shape[1]
 
-        chunk = 2048
+        chunk = 4096
         pad = (-p) % chunk
         jac_p = jnp.pad(jac, ((0, pad), (0, 0), (0, 0), (0, 0)))
         r_p = jnp.pad(r, ((0, pad), (0, 0)))
@@ -276,7 +276,12 @@ def solve(
             oh = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.float32)  # (C, K, N)
             a = jnp.einsum("pkn,prkd->prnd", oh, jac_c)             # (C, r, N, 6)
             a = a.reshape(-1, dof)
-            jtj = jtj + a.T @ a
+            # the A^T A matmul dominates assembly; bf16 operands with f32
+            # accumulation run at full MXU rate. The Hessian is only a step
+            # model (LM accept/reject uses the exact cost), so ~3 lost
+            # decimal digits in its entries don't affect correctness.
+            ab = a.astype(jnp.bfloat16)
+            jtj = jtj + jnp.dot(ab.T, ab, preferred_element_type=jnp.float32)
             jtr = jtr + a.T @ r_c.reshape(-1)
             return (jtj, jtr), None
 

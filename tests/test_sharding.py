@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh — the
+distributed layer the reference doesn't have (SURVEY §2.a)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.pipeline import kinfu
+from dynamicfusion_tpu.parallel import sharded
+
+CFG = dataclasses.replace(
+    DynamicFusionConfig(
+        rows=32,
+        cols=64,
+        volume_dims=32,
+        max_nodes=32,
+        node_sample_step=5,
+        solver_nonlinear_iters=2,
+    ),
+    intr=dataclasses.replace(
+        DynamicFusionConfig().intr, fx=57.0, fy=57.0, cx=32.0, cy=16.0
+    ),
+)
+
+
+def _depth():
+    return jnp.asarray(
+        synthetic.scene_depth(
+            CFG.intr, CFG.rows, CFG.cols,
+            spheres=[dict(center=(0.0, 0.0, 0.8), radius=0.2)], plane_z=1.1,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return sharded.make_mesh(8)
+
+
+def test_sharded_state_placement(mesh):
+    state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
+    # volume is split along x across 8 devices
+    shard_shapes = {s.data.shape for s in state.vol.tsdf.addressable_shards}
+    assert shard_shapes == {(CFG.volume_dims // 8, CFG.volume_dims, CFG.volume_dims)}
+    # warp field replicated
+    assert len({s.device for s in state.warp.positions.addressable_shards}) == 8
+
+
+def test_sharded_step_matches_single_device(mesh):
+    depth = _depth()
+
+    # single-device reference run
+    df = kinfu.DynamicFusion(CFG)
+    df(depth)
+    df(depth)
+    ref_pose = np.asarray(df.get_pose())
+    ref_tsdf = np.asarray(df.state.vol.tsdf)
+
+    # sharded run
+    state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
+    first = sharded.make_sharded_first_frame(CFG, mesh)
+    step = sharded.make_sharded_step(CFG, mesh)
+    state = first(state, depth)
+    state, out = step(state, depth)
+
+    np.testing.assert_allclose(np.asarray(out.pose), ref_pose, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.vol.tsdf), ref_tsdf, atol=1e-4)
+
+
+def test_sharded_multi_frame_stability(mesh):
+    state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
+    first = sharded.make_sharded_first_frame(CFG, mesh)
+    step = sharded.make_sharded_step(CFG, mesh)
+    state = first(state, _depth())
+    for _ in range(3):
+        state, out = step(state, _depth())
+    assert bool(out.icp_ok)
+    assert np.isfinite(np.asarray(out.pose)).all()
+    assert int(state.frame_idx) == 4
