@@ -87,9 +87,13 @@ def main():
     ap.add_argument("--solver-iters", type=int, default=5)
     ap.add_argument("--point-stride", type=int, default=2)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--rigid", action="store_true",
+                    help="plain KinectFusion path (identity warp, BASELINE config 1)")
     args = ap.parse_args()
 
     cfg = build_cfg(args)
+    if args.rigid:
+        cfg = dataclasses.replace(cfg, rigid_only=True)
     df = kinfu.DynamicFusion(cfg)
     seq = frames(cfg, args.frames + 2)
 
@@ -101,7 +105,7 @@ def main():
 
     t0 = time.time()
     for d in seq[2:]:
-        df(d)
+        df(d, block=False)  # streaming mode: frames pipeline on device
     # force the chained computation to finish
     cost = float(df.last_outputs.solver_cost1)
     icp_ok = bool(df.last_outputs.icp_ok)
@@ -109,7 +113,7 @@ def main():
     fps = args.frames / elapsed
 
     result = {
-        "metric": "full_nonrigid_pipeline_fps",
+        "metric": "rigid_kinfu_fps" if args.rigid else "full_nonrigid_pipeline_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 1),

@@ -105,6 +105,10 @@ class DynamicFusionConfig:
     # then carries one frame of camera motion — negligible at tracking
     # frame rates). False re-raycasts at the new pose like the reference.
     reuse_model_raycast: bool = True
+    # Plain rigid KinectFusion mode (identity warp): skips the non-rigid
+    # solve and DQB fusion, using rigid projective integration — the
+    # reference's kinfu preset behavior / BASELINE config 1.
+    rigid_only: bool = False
 
     # KNN field for voxel-space DQB: computed on a coarse grid of
     # volume_dims // knn_field_stride cells and gathered at full resolution.

@@ -230,6 +230,15 @@ def insert_nodes(
     )
 
 
+def live_node_positions(field: WarpField) -> jnp.ndarray:
+    """Node positions warped into the live frame: dg_v + t(dg_se3)
+    (the reference's getNodesAsMat, warp_field.cpp:284-293, used to
+    visualize the warp graph)."""
+    from dynamicfusion_tpu.core import dualquat
+
+    return field.positions + dualquat.translation(field.dq)
+
+
 def warp_dq_at(field: WarpField, points: jnp.ndarray, k: int = 8) -> jnp.ndarray:
     """The blended dual quaternion of the field evaluated at given points."""
     d2, idx = knn(field, points, k)

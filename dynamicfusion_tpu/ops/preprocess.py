@@ -143,6 +143,17 @@ def compute_points_normals(
     return points, normals
 
 
+def compute_normals_and_mask_depth(
+    intr: Intrinsics, depth_mm: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's USE_DEPTH preprocessing variant
+    (computeNormalsAndMaskDepth, imgproc.cu:145-202): normal map from depth
+    plus the depth image with normal-invalid pixels zeroed."""
+    _, normals = compute_points_normals(intr, depth_mm)
+    masked = jnp.where(jnp.isnan(normals[..., 0]), jnp.zeros_like(depth_mm), depth_mm)
+    return masked, normals
+
+
 def compute_dists(intr: Intrinsics, depth_mm: jnp.ndarray) -> jnp.ndarray:
     """z-depth (mm) -> ray distance (meters): d = z * ||K^-1 (u,v,1)||
     (compute_dists_kernel, imgproc.cu:259-272)."""

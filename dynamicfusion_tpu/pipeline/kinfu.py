@@ -127,6 +127,31 @@ def step(
     # flag it (the driver can reset)
     pose = jnp.where(icp_res.ok, pose, state.pose)
 
+    if cfg.rigid_only:
+        # plain KinectFusion: rigid integrate + raycast, identity warp
+        vol2cam = se3.compose(se3.inverse(pose), _vol_pose(cfg))
+        vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
+        prev_pts, prev_nrm = _raycast_pyramid(cfg, vol, pose)
+        new_state = PipelineState(
+            vol=vol,
+            warp=state.warp,
+            pose=pose,
+            prev_points=prev_pts,
+            prev_normals=prev_nrm,
+            frame_idx=state.frame_idx + 1,
+        )
+        zero = jnp.zeros(())
+        outputs = StepOutputs(
+            icp_ok=icp_res.ok,
+            pose=pose,
+            solver_cost0=zero,
+            solver_cost1=zero,
+            node_count=state.warp.count,
+            model_points=prev_pts[0],
+            model_normals=prev_nrm[0],
+        )
+        return new_state, outputs
+
     # ---- 3. canonical model surface seen from the new pose ----
     if cfg.reuse_model_raycast:
         # the previous frame's model raycast (camera frame at the OLD pose)
@@ -200,20 +225,35 @@ class DynamicFusion:
         self._first = jax.jit(lambda s, d: first_frame(cfg, s, d))
         self._step = jax.jit(lambda s, d: step(cfg, s, d))
         self.last_outputs: StepOutputs | None = None
+        self.poses = [jnp.eye(4)]  # trajectory (KinFu::poses_, kinfu.hpp:86)
 
-    def __call__(self, depth_mm) -> bool:
+    def __call__(self, depth_mm, block: bool = True) -> bool:
+        """Process one frame. With block=False the call only dispatches
+        (JAX async) and returns True — consecutive frames then pipeline on
+        device with no host sync in the loop (the streaming mode of
+        BASELINE config 4); read ``last_ok`` / ``last_outputs`` to sync."""
         depth_mm = jnp.asarray(depth_mm, jnp.uint16)
         if int(self.state.frame_idx) == 0:
             self.state = self._first(self.state, depth_mm)
             return False
         self.state, self.last_outputs = self._step(self.state, depth_mm)
-        return bool(self.last_outputs.icp_ok)
+        self.poses.append(self.last_outputs.pose)
+        return self.last_ok if block else True
+
+    @property
+    def last_ok(self) -> bool:
+        return bool(self.last_outputs.icp_ok) if self.last_outputs is not None else False
 
     def reset(self):
         self.state = init_state(self.cfg)
+        self.poses = [jnp.eye(4)]
 
-    def get_pose(self):
-        return self.state.pose
+    def get_pose(self, time: int = -1):
+        """Camera pose at frame `time` (KinFu::getCameraPose,
+        kinfu.cpp:215-221; out-of-range -> latest)."""
+        if not (-len(self.poses) <= time < len(self.poses)):
+            time = -1
+        return self.poses[time]
 
     def render(self, mode: int = 0, pose=None):
         """Render the model: from the last raycast (KinFu::renderImage,

@@ -1,0 +1,99 @@
+"""Non-rigid fusion op tests: identity-warp equivalence with rigid
+integrate, warped-geometry correctness, prolongation exactness."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.core import dualquat, se3
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.models import volume as volume_model
+from dynamicfusion_tpu.models import warpfield
+from dynamicfusion_tpu.ops import fusion, preprocess, tsdf as tsdf_ops
+
+CFG = dataclasses.replace(
+    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
+    max_nodes=64,
+    node_sample_step=1,
+    node_radius=0.5,
+    knn_field_stride=2,
+)
+
+
+def _identity_field():
+    # nodes spread over the volume with identity transforms
+    g = np.linspace(-0.4, 0.4, 4)
+    pts = np.stack(np.meshgrid(g, g, g + 1.0, indexing="ij"), -1).reshape(-1, 3)
+    return warpfield.init_from_cloud(
+        CFG, jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool)
+    )
+
+
+def _w2c():
+    return se3.identity()
+
+
+def test_prolong_matrix_exact_at_corners():
+    w = np.asarray(fusion._prolong_matrix(8, 2))
+    assert w.shape == (8, 5)
+    # each fine index i = 2c lands exactly on corner c
+    for c in range(4):
+        row = w[2 * c]
+        assert row[c] == 1.0 and row.sum() == 1.0
+    # midpoints average adjacent corners
+    assert w[1][0] == 0.5 and w[1][1] == 0.5
+
+
+def test_identity_warp_matches_rigid_integrate():
+    depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
+    dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+    field = _identity_field()
+
+    vol_pose = se3.identity().at[:3, 3].set(jnp.asarray(CFG.volume_origin))
+    vol_r = tsdf_ops.integrate(
+        CFG, volume_model.create(CFG), dists, se3.compose(se3.inverse(_w2c()), vol_pose), CFG.intr
+    )
+    vol_n = fusion.integrate_nonrigid(
+        CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
+    )
+    # identity warp => identical update (up to float assoc.)
+    np.testing.assert_allclose(
+        np.asarray(vol_n.tsdf), np.asarray(vol_r.tsdf), atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(vol_n.weight), np.asarray(vol_r.weight))
+
+
+def test_translated_warp_shifts_surface():
+    # field translates everything +3cm in x; fusing a sphere at x=+0.03
+    # through it must build the surface at the CANONICAL location (x=0).
+    shift = jnp.array([0.03, 0.0, 0.0])
+    field = _identity_field()
+    dq = dualquat.from_twist(jnp.zeros(3), shift)
+    field = field._replace(dq=jnp.where(field.active[:, None], dq, field.dq))
+
+    depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0.03, 0.0, 1.0), 0.25)
+    dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+    vol = fusion.integrate_nonrigid(
+        CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
+    )
+    cloud = tsdf_ops.extract_cloud(CFG, vol, max_points=8192)
+    pts = np.asarray(cloud.points)[np.asarray(cloud.valid)]
+    assert len(pts) > 100
+    # extracted canonical surface must center at x ~ 0, not 0.03
+    r = np.linalg.norm(pts - np.array([0.0, 0.0, 1.0]), axis=-1)
+    front = pts[np.abs(pts[:, 2] - (1.0 - 0.25)) < 0.05]
+    assert len(front) > 10
+    r_err = np.abs(np.linalg.norm(front - np.array([0, 0, 1.0]), axis=-1) - 0.25)
+    assert np.median(r_err) < 2.5 * CFG.voxel_size
+
+
+def test_fusion_accumulates_weight():
+    depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
+    dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+    field = _identity_field()
+    vol = volume_model.create(CFG)
+    for _ in range(2):
+        vol = fusion.integrate_nonrigid(CFG, vol, field, dists, se3.inverse(_w2c()), CFG.intr)
+    assert float(vol.weight.max()) == 2.0
