@@ -192,7 +192,9 @@ def solve(
 
         eps_k0 = jnp.take(eps0, knn_idx, axis=0)  # (P, K, 6)
         r = jax.vmap(fn)(eps_k0, *args)                       # (P, res_dim)
-        jac = jax.vmap(jax.jacfwd(fn))(eps_k0, *args)         # (P, res_dim, K, 6)
+        # reverse mode: res_dim (1 for point-to-plane) backward passes
+        # instead of K*6 = 48 forward tangents — ~10x cheaper Jacobians
+        jac = jax.vmap(jax.jacrev(fn))(eps_k0, *args)         # (P, res_dim, K, 6)
 
         sw = tukey_sqrt_weight(
             jnp.linalg.norm(r, axis=-1), cfg.solver_tukey_c
@@ -206,7 +208,7 @@ def solve(
         dq_i = jnp.take(dqs, e_src, axis=0)
         dq_j = jnp.take(dqs, e_dst, axis=0)
         re = jax.vmap(_edge_residual)(eps_i, dq_i, eps_j, dq_j, v_dst)  # (E, 3)
-        je = jax.vmap(jax.jacfwd(_edge_residual, argnums=(0, 2)))(
+        je = jax.vmap(jax.jacrev(_edge_residual, argnums=(0, 2)))(
             eps_i, dq_i, eps_j, dq_j, v_dst
         )  # tuple of (E, 3, 6)
 
