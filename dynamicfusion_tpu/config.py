@@ -109,6 +109,11 @@ class DynamicFusionConfig:
     # solve and DQB fusion, using rigid projective integration — the
     # reference's kinfu preset behavior / BASELINE config 1.
     rigid_only: bool = False
+    # Track the camera against the DQB-warped model surface (the live-frame
+    # prediction) instead of the canonical raycast. The reference tracks
+    # against canonical geometry (kinfu.cpp:297), which biases ICP wherever
+    # the scene deforms; warping the model maps fixes that (paper §3.1).
+    track_against_warped: bool = True
 
     # KNN field for voxel-space DQB: computed on a coarse grid of
     # volume_dims // knn_field_stride cells and gathered at full resolution.

@@ -40,6 +40,8 @@ def state_shardings(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
         pose=rep,
         prev_points=tuple(level_spec(l) for l in range(cfg.pyramid_levels)),
         prev_normals=tuple(level_spec(l) for l in range(cfg.pyramid_levels)),
+        can_points=level_spec(0),
+        can_normals=level_spec(0),
         frame_idx=rep,
     )
 

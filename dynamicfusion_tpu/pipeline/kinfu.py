@@ -39,8 +39,14 @@ class PipelineState(NamedTuple):
     vol: TsdfVolume
     warp: WarpField
     pose: jnp.ndarray                 # (4,4) camera-to-world
-    prev_points: Tuple[jnp.ndarray, ...]   # raycast model maps per level (camera frame)
+    # model maps for ICP tracking (camera frame; DQB-warped into the live
+    # frame when cfg.track_against_warped)
+    prev_points: Tuple[jnp.ndarray, ...]
     prev_normals: Tuple[jnp.ndarray, ...]
+    # full-res CANONICAL model map (camera frame) — the solver's canonical
+    # surface source
+    can_points: jnp.ndarray
+    can_normals: jnp.ndarray
     frame_idx: jnp.ndarray            # scalar int32
 
 
@@ -58,19 +64,39 @@ def _vol_pose(cfg: DynamicFusionConfig) -> jnp.ndarray:
     return se3.identity().at[:3, 3].set(jnp.asarray(cfg.volume_origin))
 
 
-def _raycast_pyramid(cfg: DynamicFusionConfig, vol: TsdfVolume, pose: jnp.ndarray):
-    """Raycast the canonical model at `pose` and build the coarse levels by
-    2x averaging (KinFu::operator() raycast + resizePointsNormals,
-    kinfu.cpp:297-299)."""
-    cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
-    res = tsdf_ops.raycast(cfg, vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
-    pts = [res.points]
-    nrm = [res.normals]
+def _pyramid_from_maps(cfg: DynamicFusionConfig, pts0, nrm0):
+    pts = [pts0]
+    nrm = [nrm0]
     for _ in range(1, cfg.pyramid_levels):
         p, n = preprocess.resize_points_normals(pts[-1], nrm[-1])
         pts.append(p)
         nrm.append(n)
     return tuple(pts), tuple(nrm)
+
+
+def _model_maps(
+    cfg: DynamicFusionConfig, vol: TsdfVolume, warp: WarpField, pose: jnp.ndarray
+):
+    """Raycast the canonical model at `pose`; return (tracking pyramid,
+    canonical level-0 maps). When cfg.track_against_warped the tracking
+    maps are DQB-warped into the live frame (the paper's live-surface
+    prediction; the reference raycasts canonical only, kinfu.cpp:297)."""
+    cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
+    res = tsdf_ops.raycast(cfg, vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
+    if cfg.track_against_warped and not cfg.rigid_only:
+        shape = res.points.shape
+        pts_w = se3.transform_points(pose, res.points).reshape(-1, 3)
+        nrm_w = se3.rotate_dirs(pose, res.normals).reshape(-1, 3)
+        wp, wn = warpfield.warp_points(
+            warp, pts_w, nrm_w, k=cfg.knn_k, method=cfg.knn_method
+        )
+        w2c = se3.inverse(pose)
+        track_pts = se3.transform_points(w2c, wp).reshape(shape)
+        track_nrm = se3.rotate_dirs(w2c, wn).reshape(shape)
+    else:
+        track_pts, track_nrm = res.points, res.normals
+    pyr = _pyramid_from_maps(cfg, track_pts, track_nrm)
+    return pyr, res.points, res.normals
 
 
 def init_state(cfg: DynamicFusionConfig) -> PipelineState:
@@ -84,6 +110,8 @@ def init_state(cfg: DynamicFusionConfig) -> PipelineState:
         pose=se3.identity(),
         prev_points=zero_maps,
         prev_normals=zero_maps,
+        can_points=zero_maps[0],
+        can_normals=zero_maps[0],
         frame_idx=jnp.zeros((), jnp.int32),
     )
 
@@ -98,13 +126,15 @@ def first_frame(cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.nd
     cloud = tsdf_ops.extract_cloud(cfg, vol, max_points=cfg.max_nodes * cfg.node_sample_step)
     warp = warpfield.init_from_cloud(cfg, cloud.points, cloud.valid)
 
-    prev_pts, prev_nrm = _raycast_pyramid(cfg, vol, state.pose)
+    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(cfg, vol, warp, state.pose)
     return PipelineState(
         vol=vol,
         warp=warp,
         pose=state.pose,
         prev_points=prev_pts,
         prev_normals=prev_nrm,
+        can_points=can_pts,
+        can_normals=can_nrm,
         frame_idx=state.frame_idx + 1,
     )
 
@@ -131,13 +161,17 @@ def step(
         # plain KinectFusion: rigid integrate + raycast, identity warp
         vol2cam = se3.compose(se3.inverse(pose), _vol_pose(cfg))
         vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
-        prev_pts, prev_nrm = _raycast_pyramid(cfg, vol, pose)
+        (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
+            cfg, vol, state.warp, pose
+        )
         new_state = PipelineState(
             vol=vol,
             warp=state.warp,
             pose=pose,
             prev_points=prev_pts,
             prev_normals=prev_nrm,
+            can_points=can_pts,
+            can_normals=can_nrm,
             frame_idx=state.frame_idx + 1,
         )
         zero = jnp.zeros(())
@@ -154,11 +188,11 @@ def step(
 
     # ---- 3. canonical model surface seen from the new pose ----
     if cfg.reuse_model_raycast:
-        # the previous frame's model raycast (camera frame at the OLD pose)
-        # doubles as the canonical surface — saves a full-volume raycast;
+        # the previous frame's canonical model raycast (camera frame at the
+        # OLD pose) is the canonical surface — saves a full-volume raycast;
         # the association error is one frame of camera motion
-        can_pts_w = se3.transform_points(state.pose, state.prev_points[0])
-        can_nrm_w = se3.rotate_dirs(state.pose, state.prev_normals[0])
+        can_pts_w = se3.transform_points(state.pose, state.can_points)
+        can_nrm_w = se3.rotate_dirs(state.pose, state.can_normals)
     else:
         cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
         model = tsdf_ops.raycast(cfg, state.vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
@@ -190,7 +224,7 @@ def step(
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----
-    prev_pts, prev_nrm = _raycast_pyramid(cfg, vol, pose)
+    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(cfg, vol, warp, pose)
 
     new_state = PipelineState(
         vol=vol,
@@ -198,6 +232,8 @@ def step(
         pose=pose,
         prev_points=prev_pts,
         prev_normals=prev_nrm,
+        can_points=can_pts,
+        can_normals=can_nrm,
         frame_idx=state.frame_idx + 1,
     )
     outputs = StepOutputs(
