@@ -79,6 +79,53 @@ def frames(cfg, n):
     return out
 
 
+def run_quality(cfg, args):
+    """Reconstruct a deforming sphere; the canonical model must match the
+    t=0 analytic sphere. Reports median absolute surface error (mm).
+    vs_baseline = voxel_size / error (>= 1 means sub-voxel accuracy, the
+    parity class the reference's visual validation implies)."""
+    from dynamicfusion_tpu.ops import tsdf as tsdf_ops
+
+    center, radius = (0.0, 0.0, 0.9), 0.25
+    df = kinfu.DynamicFusion(cfg)
+    n = args.frames
+    for t in range(n):
+        # deforming sphere over a static background (an off-axis sphere +
+        # plane) — the background conditions all 6 ICP dof, like real scenes
+        sphere = synthetic.deforming_sphere_depth(
+            cfg.intr, cfg.rows, cfg.cols, t=0.35 * t, center=center,
+            radius=radius, amp=0.04,
+        )
+        bg = synthetic.scene_depth(
+            cfg.intr, cfg.rows, cfg.cols,
+            spheres=[dict(center=(0.32, -0.18, 1.0), radius=0.1)], plane_z=1.3,
+        )
+        d = np.where((sphere > 0) & ((bg == 0) | (sphere < bg)), sphere, bg)
+        df(jnp.asarray(d), block=False)
+    _ = float(df.last_outputs.solver_cost1)
+
+    cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 19)
+    pts = np.asarray(cloud.points)[np.asarray(cloud.valid)]
+    # evaluate only the deforming object's surface (exclude background)
+    near = np.linalg.norm(pts - np.asarray(center), axis=-1) < radius + 0.12
+    pts = pts[near]
+    err = np.abs(np.linalg.norm(pts - np.asarray(center), axis=-1) - radius)
+    med_mm = float(np.median(err)) * 1000.0
+    p95_mm = float(np.percentile(err, 95)) * 1000.0
+    voxel_mm = cfg.voxel_size * 1000.0
+    print(json.dumps({
+        "metric": "canonical_reconstruction_error_mm",
+        "value": round(med_mm, 3),
+        "unit": "mm (median |surface - analytic|, deforming sphere)",
+        "vs_baseline": round(voxel_mm / max(med_mm, 1e-6), 2),
+        "p95_mm": round(p95_mm, 3),
+        "voxel_mm": round(voxel_mm, 3),
+        "frames": n,
+        "surface_points": int(len(pts)),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10)
@@ -89,11 +136,17 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--rigid", action="store_true",
                     help="plain KinectFusion path (identity warp, BASELINE config 1)")
+    ap.add_argument("--quality", action="store_true",
+                    help="report reconstruction error vs analytic ground truth "
+                         "(deforming-sphere sequence; BASELINE config 3 parity check)")
     args = ap.parse_args()
 
     cfg = build_cfg(args)
     if args.rigid:
         cfg = dataclasses.replace(cfg, rigid_only=True)
+    if args.quality:
+        run_quality(cfg, args)
+        return
     df = kinfu.DynamicFusion(cfg)
     seq = frames(cfg, args.frames + 2)
 
