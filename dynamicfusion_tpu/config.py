@@ -74,6 +74,25 @@ class DynamicFusionConfig:
     # Raycasting
     raycast_step_factor: float = 0.75     # in truncation distances
     gradient_delta_factor: float = 0.5    # in voxel sizes
+    # Tracking/model raycast resolution divisor: rays marched at
+    # (rows/s, cols/s). Random volume gathers are the raycast cost on TPU;
+    # the model maps feed ICP (which gains a matching level shift) and the
+    # warp solver (which subsamples anyway), so s=2 trades ~4x raycast cost
+    # for a sub-pixel tracking resolution loss. 1 = reference-exact.
+    raycast_subsample: int = 2
+    # Seed the tracking raycast's march from the live frame's dists map:
+    # seeded rays march only [seed - m, seed + m] instead of the whole
+    # volume (~30% fewer march gathers). 0 disables (default): rays whose
+    # in-band march misses the model return nothing where a full march
+    # would find the background — measurably worse tracking on
+    # weakly-conditioned scenes (silhouette-ring constraints lost). Enable
+    # for feature-rich scenes where raycast cost matters.
+    raycast_seed_margin: float = 0.0
+    # True = the reference's six-sample central-difference normals
+    # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
+    # in-cell gradient of the trilinear interpolant (8 gathers, shared with
+    # the refine fetch).
+    raycast_smooth_normals: bool = False
 
     # Warp field. KNN k matches the reference's KNN_NEIGHBOURS=8
     # (/root/reference/kfusion/include/kfusion/warp_field.hpp:10). node_radius
@@ -128,10 +147,25 @@ class DynamicFusionConfig:
     def __post_init__(self):
         assert self.volume_dims % 32 == 0, "volume_dims must be divisible by 32"
         assert len(self.icp_iters) == self.pyramid_levels
+        assert self.raycast_subsample in (1, 2, 4)
+        assert 2 ** (self.pyramid_levels - 1) > self.raycast_subsample, (
+            "need at least one pyramid level below the raycast resolution"
+        )
 
     @property
     def voxel_size(self) -> float:
         return self.volume_size / self.volume_dims
+
+    @property
+    def raycast_shift(self) -> int:
+        """Pyramid-level index of the model/tracking raycast resolution
+        (log2 of raycast_subsample)."""
+        return self.raycast_subsample.bit_length() - 1
+
+    @property
+    def track_levels(self) -> int:
+        """Number of pyramid levels the model maps (and ICP) run at."""
+        return self.pyramid_levels - self.raycast_shift
 
     @classmethod
     def default_dynamicfusion(cls) -> "DynamicFusionConfig":

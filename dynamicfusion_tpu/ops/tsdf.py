@@ -82,6 +82,69 @@ def interpolate(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(oob, NAN, out)
 
 
+def interpolate_with_gradient(
+    tsdf: jnp.ndarray, p_voxels: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinear value AND its analytic in-cell gradient from ONE set of 8
+    corner fetches.
+
+    The reference computes the normal with six extra trilinear samples at
+    +/-delta (48 gathers/pixel, TsdfRaycaster::compute_normal,
+    tsdf_volume.cu:408-426); on TPU random gathers are the raycast cost, so
+    the exact derivative of the trilinear interpolant (d/dx of trilinear =
+    bilinear of corner differences) reuses the same 8 corners — 8 gathers
+    for value + gradient together. Gradient units: tsdf per voxel."""
+    d = tsdf.shape[0]
+    g = jnp.floor(p_voxels)
+    gi = g.astype(jnp.int32)
+    f = p_voxels - g
+
+    oob = (
+        (gi[..., 0] < 0) | (gi[..., 0] >= d - 1)
+        | (gi[..., 1] < 0) | (gi[..., 1] >= d - 1)
+        | (gi[..., 2] < 0) | (gi[..., 2] >= d - 1)
+    )
+    gi = jnp.clip(gi, 0, d - 2)
+
+    flat_vol = tsdf.reshape(-1)
+    base = (gi[..., 0] * d + gi[..., 1]) * d + gi[..., 2]
+    a, b, c = f[..., 0], f[..., 1], f[..., 2]
+
+    cor = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cor[(dx, dy, dz)] = jnp.take(
+                    flat_vol, base + (dx * d + dy) * d + dz
+                ).astype(jnp.float32)
+
+    wa0, wa1 = 1.0 - a, a
+    wb0, wb1 = 1.0 - b, b
+    wc0, wc1 = 1.0 - c, c
+
+    val = (
+        wa0 * (wb0 * (wc0 * cor[0, 0, 0] + wc1 * cor[0, 0, 1])
+               + wb1 * (wc0 * cor[0, 1, 0] + wc1 * cor[0, 1, 1]))
+        + wa1 * (wb0 * (wc0 * cor[1, 0, 0] + wc1 * cor[1, 0, 1])
+                 + wb1 * (wc0 * cor[1, 1, 0] + wc1 * cor[1, 1, 1]))
+    )
+    gx = (
+        wb0 * (wc0 * (cor[1, 0, 0] - cor[0, 0, 0]) + wc1 * (cor[1, 0, 1] - cor[0, 0, 1]))
+        + wb1 * (wc0 * (cor[1, 1, 0] - cor[0, 1, 0]) + wc1 * (cor[1, 1, 1] - cor[0, 1, 1]))
+    )
+    gy = (
+        wa0 * (wc0 * (cor[0, 1, 0] - cor[0, 0, 0]) + wc1 * (cor[0, 1, 1] - cor[0, 0, 1]))
+        + wa1 * (wc0 * (cor[1, 1, 0] - cor[1, 0, 0]) + wc1 * (cor[1, 1, 1] - cor[1, 0, 1]))
+    )
+    gz = (
+        wa0 * (wb0 * (cor[0, 0, 1] - cor[0, 0, 0]) + wb1 * (cor[0, 1, 1] - cor[0, 1, 0]))
+        + wa1 * (wb0 * (cor[1, 0, 1] - cor[1, 0, 0]) + wb1 * (cor[1, 1, 1] - cor[1, 1, 0]))
+    )
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    nanv = jnp.where(oob, NAN, 0.0)
+    return val + nanv, grad + nanv[..., None]
+
+
 def gradient(tsdf: jnp.ndarray, p_voxels: jnp.ndarray, delta_voxels: jnp.ndarray) -> jnp.ndarray:
     """Central-difference TSDF gradient (unnormalized) at voxel coords
     (TsdfRaycaster::compute_normal, tsdf_volume.cu:408-426)."""
@@ -185,6 +248,7 @@ def raycast(
     intr: Intrinsics,
     rows: int,
     cols: int,
+    t_seed: jnp.ndarray | None = None,
 ) -> RaycastResult:
     """Per-pixel ray march for the zero crossing (TsdfRaycaster,
     tsdf_volume.cu:247-474). Returns points/normals in the *camera* frame
@@ -192,8 +256,16 @@ def raycast(
 
     The march is a fixed-trip fori_loop over the worst-case step count
     (volume diagonal / step) with per-pixel done-masking; the crossing is
-    refined by linear interpolation of two trilinear samples, the normal
-    from the trilinear gradient."""
+    refined by linear interpolation of two trilinear samples plus a Newton
+    polish, the normal from the in-cell trilinear gradient (or the
+    reference's six-sample central difference with
+    cfg.raycast_smooth_normals).
+
+    ``t_seed``: optional (rows, cols) expected surface distance along each
+    ray (e.g. the live frame's dists map). Seeded pixels march only the
+    [seed - m, seed + m] band (m = cfg.raycast_seed_margin) instead of the
+    whole volume — the tracking raycast's march cost drops ~6x. Pixels with
+    seed <= 0 march the full ray."""
     d = cfg.volume_dims
     vs = cfg.voxel_size
     trunc = volume_model.trunc_dist(cfg)
@@ -216,6 +288,13 @@ def raycast(
     tmin, tmax = _ray_box(ray_org, dirs, box_max)
     tmin = jnp.maximum(tmin, 0.0)
     tmax = tmax - step
+
+    if t_seed is not None:
+        m = cfg.raycast_seed_margin
+        seeded = t_seed > 0.0
+        ts0 = jnp.nan_to_num(t_seed)
+        tmin = jnp.where(seeded, jnp.clip(ts0 - m, tmin, tmax), tmin)
+        tmax = jnp.where(seeded, jnp.minimum(ts0 + m, tmax), tmax)
 
     n_steps = int(math.ceil(math.sqrt(3.0) * vol_size / step)) + 1
     inv_vs = 1.0 / vs
@@ -272,8 +351,23 @@ def raycast(
     ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
 
     vertex_vol = ray_org + dirs * ts[..., None]
-    grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
-    normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+    if cfg.raycast_smooth_normals:
+        grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
+        normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+    else:
+        # one fused fetch: value for a Newton polish of the crossing
+        # (better-than-reference sub-step accuracy for free) + the in-cell
+        # gradient for the normal
+        f_v, normal_vol = interpolate_with_gradient(tsdf, vertex_vol * inv_vs)
+        dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
+        ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
+        good2 = (
+            jnp.isfinite(ts2)
+            & (jnp.abs(ts2 - ts) < dt_hit)
+            & ~jnp.isnan(f_v)
+        )
+        ts = jnp.where(good2, ts2, ts)
+        vertex_vol = ray_org + dirs * ts[..., None]
     nn = jnp.linalg.norm(normal_vol, axis=-1, keepdims=True)
     normal_vol = normal_vol / jnp.maximum(nn, 1e-12)
 

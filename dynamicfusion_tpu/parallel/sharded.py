@@ -28,8 +28,9 @@ def state_shardings(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
 
     def level_spec(l):
         # coarse pyramid levels whose row count doesn't divide the mesh
-        # stay replicated (they are tiny)
-        rows_l = cfg.rows // (2 ** l)
+        # stay replicated (they are tiny); model maps live at pyramid level
+        # cfg.raycast_shift and below
+        rows_l = cfg.rows >> (l + cfg.raycast_shift)
         return (
             NamedSharding(mesh, P(axis, None, None)) if rows_l % n == 0 else rep
         )
@@ -38,8 +39,8 @@ def state_shardings(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
         vol=jax.tree.map(lambda _: vol_s, kinfu.volume_model.create(cfg)),
         warp=jax.tree.map(lambda _: rep, kinfu.warpfield.create(cfg)),
         pose=rep,
-        prev_points=tuple(level_spec(l) for l in range(cfg.pyramid_levels)),
-        prev_normals=tuple(level_spec(l) for l in range(cfg.pyramid_levels)),
+        prev_points=tuple(level_spec(l) for l in range(cfg.track_levels)),
+        prev_normals=tuple(level_spec(l) for l in range(cfg.track_levels)),
         can_points=level_spec(0),
         can_normals=level_spec(0),
         frame_idx=rep,

@@ -67,22 +67,53 @@ def _vol_pose(cfg: DynamicFusionConfig) -> jnp.ndarray:
 def _pyramid_from_maps(cfg: DynamicFusionConfig, pts0, nrm0):
     pts = [pts0]
     nrm = [nrm0]
-    for _ in range(1, cfg.pyramid_levels):
+    for _ in range(1, cfg.track_levels):
         p, n = preprocess.resize_points_normals(pts[-1], nrm[-1])
         pts.append(p)
         nrm.append(n)
     return tuple(pts), tuple(nrm)
 
 
+def _raycast_seed(cfg: DynamicFusionConfig, dists: jnp.ndarray):
+    """Expected surface distance per tracking ray, from the live dists map
+    (holes filled with a local positive minimum so rays next to missing
+    depth still march a short band). 0 where nothing is known; None when
+    seeding is disabled (raycast_seed_margin == 0)."""
+    if cfg.raycast_seed_margin <= 0.0:
+        return None
+    s = cfg.raycast_subsample
+    d = dists[::s, ::s]
+    big = jnp.where(d > 0, d, jnp.inf)
+    near = jax.lax.reduce_window(
+        big, jnp.inf, jax.lax.min, (5, 5), (1, 1), "SAME"
+    )
+    return jnp.where(d > 0, d, jnp.where(jnp.isfinite(near), near, 0.0))
+
+
 def _model_maps(
-    cfg: DynamicFusionConfig, vol: TsdfVolume, warp: WarpField, pose: jnp.ndarray
+    cfg: DynamicFusionConfig,
+    vol: TsdfVolume,
+    warp: WarpField,
+    pose: jnp.ndarray,
+    t_seed: jnp.ndarray | None = None,
 ):
-    """Raycast the canonical model at `pose`; return (tracking pyramid,
-    canonical level-0 maps). When cfg.track_against_warped the tracking
-    maps are DQB-warped into the live frame (the paper's live-surface
-    prediction; the reference raycasts canonical only, kinfu.cpp:297)."""
+    """Raycast the canonical model at `pose` (at 1/cfg.raycast_subsample
+    resolution, seeded by the live dists when given); return (tracking
+    pyramid, canonical base-level maps). When cfg.track_against_warped the
+    tracking maps are DQB-warped into the live frame (the paper's
+    live-surface prediction; the reference raycasts canonical only,
+    kinfu.cpp:297)."""
+    shift = cfg.raycast_shift
     cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
-    res = tsdf_ops.raycast(cfg, vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
+    res = tsdf_ops.raycast(
+        cfg,
+        vol,
+        cam2vol,
+        cfg.intr.level(shift),
+        cfg.rows // cfg.raycast_subsample,
+        cfg.cols // cfg.raycast_subsample,
+        t_seed=t_seed,
+    )
     if cfg.track_against_warped and not cfg.rigid_only:
         shape = res.points.shape
         pts_w = se3.transform_points(pose, res.points).reshape(-1, 3)
@@ -100,9 +131,10 @@ def _model_maps(
 
 
 def init_state(cfg: DynamicFusionConfig) -> PipelineState:
+    shift = cfg.raycast_shift
     zero_maps = tuple(
-        jnp.full((cfg.rows // 2 ** l, cfg.cols // 2 ** l, 3), jnp.nan)
-        for l in range(cfg.pyramid_levels)
+        jnp.full((cfg.rows >> (l + shift), cfg.cols >> (l + shift), 3), jnp.nan)
+        for l in range(cfg.track_levels)
     )
     return PipelineState(
         vol=volume_model.create(cfg),
@@ -126,7 +158,9 @@ def first_frame(cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.nd
     cloud = tsdf_ops.extract_cloud(cfg, vol, max_points=cfg.max_nodes * cfg.node_sample_step)
     warp = warpfield.init_from_cloud(cfg, cloud.points, cloud.valid)
 
-    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(cfg, vol, warp, state.pose)
+    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
+        cfg, vol, warp, state.pose, t_seed=_raycast_seed(cfg, dists)
+    )
     return PipelineState(
         vol=vol,
         warp=warp,
@@ -143,14 +177,22 @@ def step(
     cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.ndarray
 ) -> Tuple[PipelineState, StepOutputs]:
     """One full DynamicFusion frame (KinFu::operator() + dynamicfusion())."""
-    stride = cfg.solver_point_stride
+    shift = cfg.raycast_shift
+    stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
 
     # ---- 1. preprocess ----
     _, pts_pyr, nrm_pyr, dists = preprocess.build_frame_pyramid(cfg, depth_mm)
 
     # ---- 2. rigid camera tracking (frame-to-model) ----
+    # the model maps live at pyramid level `shift`; track on levels
+    # shift..end with the matching live pyramid slices
     icp_res = icp.estimate_transform(
-        cfg, pts_pyr, nrm_pyr, list(state.prev_points), list(state.prev_normals)
+        cfg,
+        list(pts_pyr[shift:]),
+        list(nrm_pyr[shift:]),
+        list(state.prev_points),
+        list(state.prev_normals),
+        level_offset=shift,
     )
     pose = se3.compose(state.pose, icp_res.transform)  # poses_.back() * affine
     # on ICP failure the reference resets; here we keep the old pose and
@@ -162,7 +204,7 @@ def step(
         vol2cam = se3.compose(se3.inverse(pose), _vol_pose(cfg))
         vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
         (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
-            cfg, vol, state.warp, pose
+            cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists)
         )
         new_state = PipelineState(
             vol=vol,
@@ -195,12 +237,20 @@ def step(
         can_nrm_w = se3.rotate_dirs(state.pose, state.can_normals)
     else:
         cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
-        model = tsdf_ops.raycast(cfg, state.vol, cam2vol, cfg.intr, cfg.rows, cfg.cols)
+        model = tsdf_ops.raycast(
+            cfg,
+            state.vol,
+            cam2vol,
+            cfg.intr.level(shift),
+            cfg.rows // cfg.raycast_subsample,
+            cfg.cols // cfg.raycast_subsample,
+            t_seed=_raycast_seed(cfg, dists),
+        )
         can_pts_w = se3.transform_points(pose, model.points)
         can_nrm_w = se3.rotate_dirs(pose, model.normals)
-    # live surface in world frame
-    live_pts_w = se3.transform_points(pose, pts_pyr[0])
-    live_nrm_w = se3.rotate_dirs(pose, nrm_pyr[0])
+    # live surface in world frame (at the model-map resolution)
+    live_pts_w = se3.transform_points(pose, pts_pyr[shift])
+    live_nrm_w = se3.rotate_dirs(pose, nrm_pyr[shift])
 
     sub = lambda a: a[::stride, ::stride].reshape(-1, 3)
     inputs = warp_solver.WarpSolveInputs(
@@ -224,7 +274,9 @@ def step(
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----
-    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(cfg, vol, warp, pose)
+    (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
+        cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists)
+    )
 
     new_state = PipelineState(
         vol=vol,

@@ -72,4 +72,12 @@ def render_maps(cfg: DynamicFusionConfig, pts, nrm, mode: int = 0) -> jnp.ndarra
 
 
 def render_state(cfg: DynamicFusionConfig, state, mode: int = 0) -> jnp.ndarray:
-    return render_maps(cfg, state.prev_points[0], state.prev_normals[0], mode)
+    """Render from the last model raycast (KinFu::renderImage semantics —
+    full-resolution output; the model maps live at 1/raycast_subsample
+    resolution and are pixel-replicated up)."""
+    s = cfg.raycast_subsample
+    pts, nrm = state.prev_points[0], state.prev_normals[0]
+    if s > 1:
+        pts = jnp.repeat(jnp.repeat(pts, s, axis=0), s, axis=1)
+        nrm = jnp.repeat(jnp.repeat(nrm, s, axis=0), s, axis=1)
+    return render_maps(cfg, pts, nrm, mode)

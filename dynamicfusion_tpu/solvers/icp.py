@@ -86,10 +86,17 @@ def estimate_transform(
     curr_nrm_pyr: List[jnp.ndarray],
     prev_pts_pyr: List[jnp.ndarray],
     prev_nrm_pyr: List[jnp.ndarray],
+    level_offset: int = 0,
 ) -> IcpResult:
     """Coarse-to-fine Gauss-Newton (estimateTransform points variant,
     projective_icp.cpp:169-213). Iteration schedule cfg.icp_iters is
     fine->coarse like the reference's {10,5,4,0}; levels run coarse->fine.
+
+    ``level_offset``: global pyramid level of the pyramids' finest entry
+    (nonzero when the model raycast runs below full resolution,
+    cfg.raycast_subsample > 1) — shifts the intrinsics accordingly; the
+    finest *available* level still gets the reference's finest-level
+    iteration count.
 
     Degeneracy: where |det A| < 1e-15 or non-finite, the increment is
     skipped and ``ok`` goes False (the reference aborts the frame and
@@ -100,10 +107,17 @@ def estimate_transform(
     t = se3.identity()
     ok = jnp.array(True)
 
-    levels = len(cfg.icp_iters)
+    levels = len(prev_pts_pyr)
     for level in reversed(range(levels)):
         iters = cfg.icp_iters[level]
-        intr_l = cfg.intr.level(level)
+        shp = prev_pts_pyr[level].shape
+        if shp[0] * shp[1] < 96:
+            # a 6-dof point-to-plane solve on a handful of pixels is
+            # meaningless and its near-singular system would poison `ok`
+            # (arises only for tiny test frames; the reference's 640x480
+            # coarsest level is 80x60)
+            continue
+        intr_l = cfg.intr.level(level + level_offset)
         for _ in range(iters):
             a, b = _build_system(
                 intr_l,
