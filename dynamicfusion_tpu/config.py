@@ -70,6 +70,17 @@ class DynamicFusionConfig:
     tsdf_trunc_dist: float = 0.04    # meters
     tsdf_max_weight: int = 64        # frames
     tsdf_min_camera_movement: float = 0.0
+    # "brick" = sparse skip/front/band brick classification (ops/bricks.py;
+    # ~6x faster at 256^3 — the depth image only constrains the truncation
+    # band); "dense" = one random image gather per voxel (reference-shaped).
+    integrate_mode: str = "brick"
+    brick_size: int = 16             # voxels per brick axis
+    # Static caps on per-class brick counts (processing cost is the cap, not
+    # the runtime count; overflowing bricks keep stale values one frame —
+    # size with scripts/profile_phases.py / bricks.brick_counts).
+    integrate_band_cap: int = 2048
+    integrate_wide_cap: int = 128
+    integrate_rect: int = 128        # band depth-lookup window (pixels)
 
     # Raycasting
     raycast_step_factor: float = 0.75     # in truncation distances
@@ -114,6 +125,11 @@ class DynamicFusionConfig:
     solver_lm_lambda_init: float = 1e-4
     solver_function_tolerance: float = 1e-6
     solver_point_stride: int = 2        # pixel subsampling for solver data term
+    # Extra point stride for the JtJ Hessian ONLY (gradient Jtr stays exact
+    # over all points): with P >> 6N data points the step metric tolerates a
+    # strided subset; halves the dominant A^T A assembly matmul at 2.
+    # Applied only when P > 8192 (full-scale inputs); 1 = exact.
+    solver_hessian_stride: int = 2
     solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
     solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
     solver_arap_weight: float = 200.0   # lambda for the regularization term
@@ -146,6 +162,10 @@ class DynamicFusionConfig:
 
     def __post_init__(self):
         assert self.volume_dims % 32 == 0, "volume_dims must be divisible by 32"
+        assert self.volume_dims % self.brick_size == 0
+        assert self.brick_size % self.knn_field_stride == 0, (
+            "bricks must align with the coarse warp grid"
+        )
         assert len(self.icp_iters) == self.pyramid_levels
         assert self.raycast_subsample in (1, 2, 4)
         assert 2 ** (self.pyramid_levels - 1) > self.raycast_subsample, (

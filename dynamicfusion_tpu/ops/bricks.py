@@ -1,0 +1,528 @@
+"""Brick-sparse TSDF integration: skip/front/band classification per brick.
+
+The dense projective integrate (ops/tsdf.py, ops/fusion.py) pays one random
+image gather per voxel — 16.7M gathers at 256^3 ≈ 145 ms on TPU v5e, the
+single largest cost in the frame. But the depth image only constrains a
+thin band around the observed surface:
+
+- **skip** bricks (behind the surface band, outside the frustum, or with no
+  valid depth in their footprint) receive no update at all;
+- **front** bricks (entirely in observed free space) receive the constant
+  update tsdf_obs = 1, weight+1 — no per-voxel depth value needed;
+- only **band** bricks (straddling the truncation band, or contaminated by
+  invalid/edge pixels) need per-voxel depth lookups.
+
+Per-brick classification is conservative, computed from a coarse grid of
+camera-frame voxel positions (stride g): the per-voxel positions are the
+trilinear prolongation of that grid (exactly the dense path's math — for the
+rigid path prolongation of an affine map is exact), so min/max over a
+brick's (B/g+1)^3 grid points bound every interior voxel: perspective u, v
+are projective-convex for z > 0, z is linear, |p| is convex. Depth min/max
+over the projected footprint comes from a conservative min/max image pyramid
+(2x2 cells at the covering mip level).
+
+Band bricks resolve their depth lookups without any random gather: each
+brick extracts a static RECTxRECT image window with one-hot row/column
+matmuls and looks up per-voxel pixels with separable one-hot matmuls — all
+MXU work (measured ~4.5 ms for 1024 bricks vs 33 ms for direct gathers vs
+149 ms dense). Bricks whose footprint exceeds the window (very close to the
+camera) fall back to direct gathers under a small cap.
+
+Replaces the role of the reference's per-voxel z-column march
+(TsdfIntegrator, /root/reference/kfusion/src/cuda/tsdf_volume.cu:51-161),
+which hides the same cost in texture-cache locality — the TPU-native
+equivalent of that locality is the brick window + MXU lookup.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.models import volume as volume_model
+from dynamicfusion_tpu.models.volume import TsdfVolume
+
+_ZEPS = 1e-3  # meters; bricks not strictly in front of the camera -> band
+
+
+# --------------------------------------------------------------------------
+# brick layout
+# --------------------------------------------------------------------------
+
+
+def to_bricks(vol: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(D, D, D) -> (NBR, B^3) brick-major rows (brick id = ((bi*nb)+bj)*nb+bk,
+    in-brick offset = ((oi*B)+oj)*B+ok)."""
+    d = vol.shape[0]
+    nb = d // b
+    return (
+        vol.reshape(nb, b, nb, b, nb, b)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(nb * nb * nb, b * b * b)
+    )
+
+
+def from_bricks(rows: jnp.ndarray, d: int, b: int) -> jnp.ndarray:
+    nb = d // b
+    return (
+        rows.reshape(nb, nb, nb, b, b, b)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(d, d, d)
+    )
+
+
+# --------------------------------------------------------------------------
+# conservative depth min/max pyramid
+# --------------------------------------------------------------------------
+
+
+class DepthPyramid(NamedTuple):
+    dmin: jnp.ndarray     # (T,) concatenated levels; +inf where no valid depth
+    dmax: jnp.ndarray     # (T,) -inf where no valid depth
+    allvalid: jnp.ndarray  # (T,) float 1.0 iff every covered pixel valid
+    offsets: Tuple[int, ...]  # static per-level start index
+    widths: Tuple[int, ...]   # static per-level row width (ceil)
+    levels: int
+
+
+def build_depth_pyramid(dists: jnp.ndarray, levels: int) -> DepthPyramid:
+    """Min/max/all-valid mip pyramid of the dists image (0 = invalid).
+    Level l has cells of 2^l pixels; out-of-image area is neutral
+    (+inf/-inf/invalid)."""
+    valid = dists > 0.0
+    dmin = jnp.where(valid, dists, jnp.inf)
+    dmax = jnp.where(valid, dists, -jnp.inf)
+    av = valid.astype(jnp.float32)
+
+    mins, maxs, avs, offsets, widths = [], [], [], [], []
+    off = 0
+    for l in range(levels):
+        h, w = dmin.shape
+        offsets.append(off)
+        widths.append(w)
+        mins.append(dmin.reshape(-1))
+        maxs.append(dmax.reshape(-1))
+        avs.append(av.reshape(-1))
+        off += h * w
+        if l + 1 < levels:
+            ph, pw = (-h) % 2, (-w) % 2
+            dmin = jax.lax.reduce_window(
+                jnp.pad(dmin, ((0, ph), (0, pw)), constant_values=jnp.inf),
+                jnp.inf, jax.lax.min, (2, 2), (2, 2), "VALID")
+            dmax = jax.lax.reduce_window(
+                jnp.pad(dmax, ((0, ph), (0, pw)), constant_values=-jnp.inf),
+                -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID")
+            av = jax.lax.reduce_window(
+                jnp.pad(av, ((0, ph), (0, pw)), constant_values=0.0),
+                1.0, jax.lax.min, (2, 2), (2, 2), "VALID")
+    return DepthPyramid(
+        dmin=jnp.concatenate(mins),
+        dmax=jnp.concatenate(maxs),
+        allvalid=jnp.concatenate(avs),
+        offsets=tuple(offsets),
+        widths=tuple(widths),
+        levels=levels,
+    )
+
+
+def query_rect(
+    pyr: DepthPyramid,
+    u0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    ncells: int = 4,
+):
+    """Conservative (dmin, dmax, allvalid) over pixel rect [u0,u1]x[v0,v1]
+    (inclusive float bounds, assumed clipped to the image). Uses up to
+    ncells x ncells cells at the finest mip level whose cells cover the rect,
+    masking cells past the rect edge — the covered area overshoots the rect
+    by at most one cell per side (cell <= ext/(ncells-1)), so classification
+    stays tight: a looser 2x2 query at the covering level over-covers ~2.2x
+    per axis and mis-classes most free-space bricks as band."""
+    ext = jnp.maximum(u1 - u0, v1 - v0)
+    l = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(ext, 1.0) / (ncells - 1))).astype(jnp.int32),
+        0,
+        pyr.levels - 1,
+    )
+    cell = jnp.exp2(l.astype(jnp.float32))
+    offs = jnp.take(jnp.asarray(pyr.offsets, jnp.int32), l)
+    wids = jnp.take(jnp.asarray(pyr.widths, jnp.int32), l)
+    i0 = jnp.floor(u0 / cell).astype(jnp.int32)
+    j0 = jnp.floor(v0 / cell).astype(jnp.int32)
+    i1 = jnp.floor(u1 / cell).astype(jnp.int32)
+    j1 = jnp.floor(v1 / cell).astype(jnp.int32)
+
+    n = pyr.dmin.shape[0]
+    dmin = jnp.full(u0.shape, jnp.inf)
+    dmax = jnp.full(u0.shape, -jnp.inf)
+    av = jnp.ones(u0.shape, jnp.float32)
+    for dj in range(ncells):
+        for di in range(ncells):
+            keep = ((i0 + di) <= i1) & ((j0 + dj) <= j1)
+            flat = jnp.clip(offs + (j0 + dj) * wids + (i0 + di), 0, n - 1)
+            dmin = jnp.minimum(
+                dmin, jnp.where(keep, jnp.take(pyr.dmin, flat), jnp.inf)
+            )
+            dmax = jnp.maximum(
+                dmax, jnp.where(keep, jnp.take(pyr.dmax, flat), -jnp.inf)
+            )
+            av = jnp.minimum(
+                av, jnp.where(keep, jnp.take(pyr.allvalid, flat), 1.0)
+            )
+    return dmin, dmax, av
+
+
+# --------------------------------------------------------------------------
+# classification
+# --------------------------------------------------------------------------
+
+
+SKIP, FRONT, BAND, WIDE = 0, 1, 2, 3
+
+
+class BrickClasses(NamedTuple):
+    cls: jnp.ndarray   # (NBR,) int32
+    u0: jnp.ndarray    # (NBR,) int32 rect origin col (band bricks)
+    v0: jnp.ndarray    # (NBR,) int32 rect origin row
+
+
+def classify(
+    cfg: DynamicFusionConfig,
+    cam_grid: jnp.ndarray,  # (G, G, G, 3) camera-frame grid points at voxel stride g
+    g: int,
+    pyr: DepthPyramid,
+    intr: Intrinsics,
+    rows: int,
+    cols: int,
+    rect: int,
+) -> BrickClasses:
+    b = cfg.brick_size
+    trunc = volume_model.trunc_dist(cfg)
+    w = b // g  # grid points per brick per axis (window w+1, stride w)
+
+    x, y, z = cam_grid[..., 0], cam_grid[..., 1], cam_grid[..., 2]
+    zok = z > _ZEPS
+    zs = jnp.where(zok, z, 1.0)
+    u = x * intr.fx / zs + intr.cx
+    v = y * intr.fy / zs + intr.cy
+    u_lo = jnp.where(zok, u, jnp.inf)
+    u_hi = jnp.where(zok, u, -jnp.inf)
+    v_lo = jnp.where(zok, v, jnp.inf)
+    v_hi = jnp.where(zok, v, -jnp.inf)
+    r = jnp.sqrt(x * x + y * y + z * z)
+
+    def bmin(a):
+        return jax.lax.reduce_window(
+            a, jnp.inf, jax.lax.min, (w + 1,) * 3, (w,) * 3, "VALID"
+        ).reshape(-1)
+
+    def bmax(a):
+        return jax.lax.reduce_window(
+            a, -jnp.inf, jax.lax.max, (w + 1,) * 3, (w,) * 3, "VALID"
+        ).reshape(-1)
+
+    umin, umax = bmin(u_lo), bmax(u_hi)
+    vmin, vmax = bmin(v_lo), bmax(v_hi)
+    zmin, zmax = bmin(z), bmax(z)
+    rmax = bmax(r)
+    # lower bound on |p| over the brick: distance from the camera to the
+    # AABB of its grid points (interior voxels are convex combinations of
+    # the grid points, hence inside the AABB). Much tighter than zmin at
+    # the frustum periphery, where |p| can exceed z by >20%.
+    xmin, xmax = bmin(x), bmax(x)
+    ymin, ymax = bmin(y), bmax(y)
+    dx = jnp.maximum(jnp.maximum(xmin, -xmax), 0.0)
+    dy = jnp.maximum(jnp.maximum(ymin, -ymax), 0.0)
+    dz = jnp.maximum(jnp.maximum(zmin, -zmax), 0.0)
+    rmin = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+
+    zfront = zmin > _ZEPS  # all grid points strictly in front: bounds valid
+
+    # clipped footprint for the depth query
+    cu0 = jnp.clip(umin, 0.0, cols - 1.0)
+    cu1 = jnp.clip(umax, 0.0, cols - 1.0)
+    cv0 = jnp.clip(vmin, 0.0, rows - 1.0)
+    cv1 = jnp.clip(vmax, 0.0, rows - 1.0)
+    dminv, dmaxv, allvalid = query_rect(pyr, cu0, cu1, cv0, cv1)
+
+    visible = (
+        (zmax > _ZEPS)
+        & (umax >= 0.0) & (umin <= cols - 1.0)
+        & (vmax >= 0.0) & (vmin <= rows - 1.0)
+    )
+    # no voxel can satisfy psdf >= -trunc (dp <= dmaxv, ray dist >= rmin)
+    no_band = dmaxv < rmin - trunc
+    inside = (umin >= 0.0) & (umax <= cols - 1.0) & (vmin >= 0.0) & (vmax <= rows - 1.0)
+    is_front = inside & (allvalid > 0.5) & (dminv > rmax + trunc) & zfront
+    narrow = ((umax - umin) <= rect - 2) & ((vmax - vmin) <= rect - 2) & zfront
+
+    cls = jnp.where(
+        ~visible | (zfront & no_band),
+        SKIP,
+        jnp.where(is_front, FRONT, jnp.where(narrow, BAND, WIDE)),
+    )
+
+    u0 = jnp.clip(jnp.floor(umin).astype(jnp.int32), 0, max(cols - rect, 0))
+    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32), 0, max(rows - rect, 0))
+    return BrickClasses(cls=cls, u0=u0, v0=v0)
+
+
+# --------------------------------------------------------------------------
+# the sparse integrate core
+# --------------------------------------------------------------------------
+
+
+def _prolong_weights(b: int, g: int) -> jnp.ndarray:
+    """(B, B/g + 1) trilinear prolongation weights from a brick's grid points
+    to its fine voxels (matches ops/fusion._prolong_matrix restricted to one
+    brick)."""
+    o = jnp.arange(b)
+    c = o // g
+    f = (o % g).astype(jnp.float32) / g
+    w = jnp.zeros((b, b // g + 1), jnp.float32)
+    w = w.at[o, c].set(1.0 - f)
+    w = w.at[o, c + 1].add(f)
+    return w
+
+
+def _corner_indices(d: int, b: int, g: int, brick_ids: jnp.ndarray) -> jnp.ndarray:
+    """Flat indices into the (G^3,) coarse grid of each brick's
+    (B/g+1)^3 grid points. brick_ids (K,) -> (K, (B/g+1)^3)."""
+    nb = d // b
+    gpts = d // g + 1
+    w = b // g
+    bi = brick_ids // (nb * nb)
+    bj = (brick_ids // nb) % nb
+    bk = brick_ids % nb
+    a = jnp.arange(w + 1)
+    ii = bi[:, None] * w + a[None, :]
+    jj = bj[:, None] * w + a[None, :]
+    kk = bk[:, None] * w + a[None, :]
+    return (
+        (ii[:, :, None, None] * gpts + jj[:, None, :, None]) * gpts
+        + kk[:, None, None, :]
+    ).reshape(brick_ids.shape[0], -1)
+
+
+def _voxel_positions(
+    cam_flat: jnp.ndarray,  # (G^3, 3)
+    corner_idx: jnp.ndarray,  # (K, C^3)
+    b: int,
+    g: int,
+) -> jnp.ndarray:
+    """Per-voxel camera positions of K bricks by trilinear prolongation of
+    their grid-point positions: (K, B^3, 3)."""
+    c = b // g + 1
+    k = corner_idx.shape[0]
+    pts = jnp.take(cam_flat, jnp.maximum(corner_idx, 0), axis=0).reshape(k, c, c, c, 3)
+    w = _prolong_weights(b, g)  # (B, C)
+    f = jnp.einsum("ia,nabcd->nibcd", w, pts)
+    f = jnp.einsum("jb,nibcd->nijcd", w, f)
+    f = jnp.einsum("kc,nijcd->nijkd", w, f)
+    return f.reshape(k, b * b * b, 3)
+
+
+def _fuse_rows(
+    cfg: DynamicFusionConfig,
+    tsdf_rows: jnp.ndarray,   # (K, BV)
+    w_rows: jnp.ndarray,      # (K, BV)
+    dp: jnp.ndarray,          # (K, BV) depth at each voxel's pixel
+    rdist: jnp.ndarray,       # (K, BV) voxel ray distance |p|
+    inb: jnp.ndarray,         # (K, BV) in-image & z>0
+):
+    trunc = volume_model.trunc_dist(cfg)
+    psdf = dp - rdist
+    update = inb & (dp != 0.0) & (psdf >= -trunc)
+    tsdf_obs = jnp.minimum(1.0, psdf / trunc)
+    t32 = tsdf_rows.astype(jnp.float32)
+    fused = (t32 * w_rows + tsdf_obs) / (w_rows + 1.0)
+    new_t = jnp.where(update, fused, t32).astype(tsdf_rows.dtype)
+    new_w = jnp.where(
+        update, jnp.minimum(w_rows + 1.0, float(cfg.tsdf_max_weight)), w_rows
+    )
+    return new_t, new_w
+
+
+def _project(cam_pts: jnp.ndarray, intr: Intrinsics, rows: int, cols: int):
+    """(..., 3) camera points -> (u_idx, v_idx, inb, rdist)."""
+    x, y, z = cam_pts[..., 0], cam_pts[..., 1], cam_pts[..., 2]
+    zs = jnp.where(z > 0, z, 1.0)
+    u = x * intr.fx / zs + intr.cx
+    v = y * intr.fy / zs + intr.cy
+    inb = (z > 0) & (u >= 0) & (v >= 0) & (u < cols) & (v < rows)
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cols - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, rows - 1)
+    rdist = jnp.sqrt(x * x + y * y + z * z)
+    return ui, vi, inb, rdist
+
+
+def _rect_lookup(
+    dists: jnp.ndarray,   # (H, W)
+    u0: jnp.ndarray,      # (K,) rect origins
+    v0: jnp.ndarray,
+    ri: jnp.ndarray,      # (K, BV) in-rect row index
+    ci: jnp.ndarray,      # (K, BV) in-rect col index
+    rect: int,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Gather-free depth lookup: one-hot matmul window extraction + separable
+    one-hot voxel selection (all MXU; see module docstring)."""
+    h, w = dists.shape
+    k, bv = ri.shape
+
+    def per_brick(v0i, u0i, rii, cii):
+        rows_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (rect, h), 1)
+            == (v0i + jax.lax.broadcasted_iota(jnp.int32, (rect, h), 0))
+        ).astype(jnp.float32)
+        rect_rows = jnp.dot(rows_oh, dists, preferred_element_type=jnp.float32)
+        cols_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (w, rect), 0)
+            == (u0i + jax.lax.broadcasted_iota(jnp.int32, (w, rect), 1))
+        ).astype(jnp.float32)
+        rct = jnp.dot(rect_rows, cols_oh, preferred_element_type=jnp.float32)
+        row_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == rii[:, None]
+        ).astype(jnp.float32)
+        col_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == cii[:, None]
+        ).astype(jnp.float32)
+        t = jnp.dot(row_sel, rct, preferred_element_type=jnp.float32)
+        return jnp.sum(t * col_sel, axis=-1)
+
+    pad = (-k) % chunk
+    v0p = jnp.pad(v0, (0, pad))
+    u0p = jnp.pad(u0, (0, pad))
+    rip = jnp.pad(ri, ((0, pad), (0, 0)))
+    cip = jnp.pad(ci, ((0, pad), (0, 0)))
+    n = (k + pad) // chunk
+    dp = jax.lax.map(
+        lambda t: jax.vmap(per_brick)(*t),
+        (
+            v0p.reshape(n, chunk),
+            u0p.reshape(n, chunk),
+            rip.reshape(n, chunk, bv),
+            cip.reshape(n, chunk, bv),
+        ),
+    )
+    return dp.reshape(-1, bv)[:k]
+
+
+def integrate_bricks(
+    cfg: DynamicFusionConfig,
+    vol: TsdfVolume,
+    dists: jnp.ndarray,
+    cam_grid: jnp.ndarray,  # (G, G, G, 3) camera-frame voxel-grid points at stride g
+    g: int,
+    intr: Intrinsics,
+    with_counts: bool = False,
+):
+    """Brick-sparse projective TSDF fusion. ``cam_grid`` holds camera-frame
+    positions of the voxel grid at stride ``g`` (g = brick_size for the rigid
+    path — affine prolongation is exact; g = knn_field_stride for the
+    DQB-warped path). Semantically equivalent to the dense integrate /
+    integrate_nonrigid up to brick caps (overflowing bricks keep their old
+    values for one frame). With ``with_counts`` also returns a (2,) int32
+    array of the runtime (band, wide) brick counts so callers can surface
+    cap overflow instead of silently dropping updates."""
+    d = cfg.volume_dims
+    b = cfg.brick_size
+    nbr = (d // b) ** 3
+    bv = b ** 3
+    rows, cols = dists.shape
+    rect = min(cfg.integrate_rect, 1 << int(math.log2(min(rows, cols))))
+
+    levels = int(math.ceil(math.log2(max(rows, cols)))) + 1
+    pyr = build_depth_pyramid(dists, levels)
+    bc = classify(cfg, cam_grid, g, pyr, intr, rows, cols, rect)
+
+    band_cap = min(cfg.integrate_band_cap, nbr)
+    wide_cap = min(cfg.integrate_wide_cap, nbr)
+
+    # fill_value must be positive-out-of-bounds: scatter mode="drop" drops
+    # index nbr, while -1 would WRAP (negative indexing) and corrupt the
+    # last brick
+    (front_ids,) = jnp.nonzero(bc.cls == FRONT, size=nbr, fill_value=nbr)
+    (band_ids,) = jnp.nonzero(bc.cls == BAND, size=band_cap, fill_value=nbr)
+    (wide_ids,) = jnp.nonzero(bc.cls == WIDE, size=wide_cap, fill_value=nbr)
+
+    tb = to_bricks(vol.tsdf, b)
+    wb = to_bricks(vol.weight, b)
+    cam_flat = cam_grid.reshape(-1, 3)
+    dists_flat = dists.reshape(-1)
+
+    # ---- front bricks: constant free-space observation ----
+    ft = jnp.take(tb, jnp.minimum(front_ids, nbr - 1), axis=0)
+    fw = jnp.take(wb, jnp.minimum(front_ids, nbr - 1), axis=0)
+    t32 = ft.astype(jnp.float32)
+    new_ft = ((t32 * fw + 1.0) / (fw + 1.0)).astype(tb.dtype)
+    new_fw = jnp.minimum(fw + 1.0, float(cfg.tsdf_max_weight))
+    tb = tb.at[front_ids].set(new_ft, mode="drop")
+    wb = wb.at[front_ids].set(new_fw, mode="drop")
+
+    # ---- band bricks: windowed matmul depth lookup ----
+    if band_cap > 0:
+        ids = jnp.minimum(band_ids, nbr - 1)
+        corner_idx = _corner_indices(d, b, g, ids)
+        pts = _voxel_positions(cam_flat, corner_idx, b, g)  # (K, BV, 3)
+        ui, vi, inb, rdist = _project(pts, intr, rows, cols)
+        u0 = jnp.take(bc.u0, ids)
+        v0 = jnp.take(bc.v0, ids)
+        ri = jnp.clip(vi - v0[:, None], 0, rect - 1)
+        ci = jnp.clip(ui - u0[:, None], 0, rect - 1)
+        # voxels projecting outside the brick's window cannot be inb band
+        # voxels (classification bounds every inb voxel into the window)
+        inw = (vi - v0[:, None] == ri) & (ui - u0[:, None] == ci)
+        dp = _rect_lookup(dists, u0, v0, ri, ci, rect)
+        bt = jnp.take(tb, ids, axis=0)
+        bw = jnp.take(wb, ids, axis=0)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw)
+        tb = tb.at[band_ids].set(new_bt, mode="drop")
+        wb = wb.at[band_ids].set(new_bw, mode="drop")
+
+    # ---- wide bricks (footprint > window, near camera): direct gather ----
+    if wide_cap > 0:
+        ids = jnp.minimum(wide_ids, nbr - 1)
+        corner_idx = _corner_indices(d, b, g, ids)
+        pts = _voxel_positions(cam_flat, corner_idx, b, g)
+        ui, vi, inb, rdist = _project(pts, intr, rows, cols)
+        flat = jax.lax.optimization_barrier(vi * cols + ui)
+        dp = jnp.take(dists_flat, flat)
+        dp = jax.lax.optimization_barrier(dp)
+        bt = jnp.take(tb, ids, axis=0)
+        bw = jnp.take(wb, ids, axis=0)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb)
+        tb = tb.at[wide_ids].set(new_bt, mode="drop")
+        wb = wb.at[wide_ids].set(new_bw, mode="drop")
+
+    out = TsdfVolume(from_bricks(tb, d, b), from_bricks(wb, d, b))
+    if with_counts:
+        counts = jnp.stack(
+            [jnp.sum(bc.cls == BAND), jnp.sum(bc.cls == WIDE)]
+        ).astype(jnp.int32)
+        return out, counts
+    return out
+
+
+def brick_counts(
+    cfg: DynamicFusionConfig,
+    vol_dims: int,
+    cam_grid: jnp.ndarray,
+    g: int,
+    dists: jnp.ndarray,
+    intr: Intrinsics,
+):
+    """Debug/monitoring: per-class brick counts (skip, front, band, wide) —
+    use to size integrate_band_cap / integrate_wide_cap for a workload."""
+    rows, cols = dists.shape
+    rect = min(cfg.integrate_rect, 1 << int(math.log2(min(rows, cols))))
+    levels = int(math.ceil(math.log2(max(rows, cols)))) + 1
+    pyr = build_depth_pyramid(dists, levels)
+    bc = classify(cfg, cam_grid, g, pyr, intr, rows, cols, rect)
+    return tuple(jnp.sum(bc.cls == c) for c in (SKIP, FRONT, BAND, WIDE))

@@ -50,20 +50,14 @@ def _prolong_matrix(d: int, stride: int) -> jnp.ndarray:
     return w
 
 
-def warp_voxel_field(
-    cfg: DynamicFusionConfig, field: WarpField
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Warped world-space positions of every voxel center, as three
-    (D, D, D) arrays (x, y, z channels kept separate to avoid a
-    (D,D,D,3) layout).
-
-    Exact DQB on the coarse corner grid + matmul prolongation."""
+def warp_coarse_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
+    """Exact DQB warp of the coarse (D/stride + 1)^3 voxel corner grid;
+    returns warped world positions (Dc, Dc, Dc, 3)."""
     d = cfg.volume_dims
     s = cfg.knn_field_stride
     vs = cfg.voxel_size
     dc = d // s + 1
 
-    # coarse corner positions in world frame
     ax = jnp.arange(dc, dtype=jnp.float32) * (s * vs)
     org = volume_model.origin(cfg)
     cx = ax[:, None, None] + org[0]
@@ -78,9 +72,22 @@ def warp_voxel_field(
         axis=-1,
     ).reshape(-1, 3)
 
-    warped = warpfield.warp_points(
+    return warpfield.warp_points(
         field, coarse, k=cfg.knn_k, method=cfg.knn_method
     ).reshape(dc, dc, dc, 3)
+
+
+def warp_voxel_field(
+    cfg: DynamicFusionConfig, field: WarpField
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Warped world-space positions of every voxel center, as three
+    (D, D, D) arrays (x, y, z channels kept separate to avoid a
+    (D,D,D,3) layout).
+
+    Exact DQB on the coarse corner grid + matmul prolongation."""
+    d = cfg.volume_dims
+    s = cfg.knn_field_stride
+    warped = warp_coarse_grid(cfg, field)
 
     w = _prolong_matrix(d, s)  # (D, Dc)
     # separable prolongation: contract each spatial axis with w
@@ -97,7 +104,8 @@ def integrate_nonrigid(
     dists: jnp.ndarray,
     world2cam: jnp.ndarray,
     intr: Intrinsics,
-) -> TsdfVolume:
+    with_counts: bool = False,
+):
     """Fuse one live depth frame into the canonical volume through the
     warp field (paper §3.3; the completed form of surface_fusion +
     psdf, tsdf_volume.cpp:228-292).
@@ -113,6 +121,18 @@ def integrate_nonrigid(
     d = cfg.volume_dims
     trunc = volume_model.trunc_dist(cfg)
     rows, cols = dists.shape
+
+    if cfg.integrate_mode == "brick":
+        from dynamicfusion_tpu.ops import bricks
+
+        warped = warp_coarse_grid(cfg, field)  # (Dc, Dc, Dc, 3) world
+        r = world2cam[:3, :3]
+        t = world2cam[:3, 3]
+        cam_grid = warped @ r.T + t
+        return bricks.integrate_bricks(
+            cfg, vol, dists, cam_grid, cfg.knn_field_stride, intr,
+            with_counts=with_counts,
+        )
 
     wx, wy, wz = warp_voxel_field(cfg, field)
 
@@ -146,4 +166,7 @@ def integrate_nonrigid(
     fused = (tsdf_f32 * w + tsdf_obs) / (w + 1.0)
     new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
     new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
-    return TsdfVolume(new_tsdf, new_w)
+    out = TsdfVolume(new_tsdf, new_w)
+    if with_counts:
+        return out, jnp.zeros((2,), jnp.int32)  # dense path: nothing capped
+    return out

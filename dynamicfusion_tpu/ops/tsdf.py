@@ -168,7 +168,8 @@ def integrate(
     dists: jnp.ndarray,
     vol2cam: jnp.ndarray,
     intr: Intrinsics,
-) -> TsdfVolume:
+    with_counts: bool = False,
+):
     """Rigid projective TSDF fusion of one dists image
     (TsdfIntegrator, tsdf_volume.cu:51-107).
 
@@ -176,11 +177,35 @@ def integrate(
     (``camera_pose.inv() * volume_pose``, tsdf_volume.cpp:112).
     Per voxel: project center into the image, nearest-fetch the ray
     distance Dp, sdf = Dp - |v_cam|, and fold min(1, sdf/trunc) into the
-    running average where sdf >= -trunc."""
+    running average where sdf >= -trunc.
+
+    With cfg.integrate_mode == "brick" the update runs brick-sparse
+    (ops/bricks.py): only bricks straddling the truncation band pay per-voxel
+    depth lookups; the voxel positions come from exact affine prolongation of
+    a stride-brick_size grid."""
     d = cfg.volume_dims
     vs = cfg.voxel_size
     trunc = volume_model.trunc_dist(cfg)
     rows, cols = dists.shape
+
+    if cfg.integrate_mode == "brick":
+        from dynamicfusion_tpu.ops import bricks
+
+        g = cfg.brick_size
+        gp = d // g + 1
+        ax = jnp.arange(gp, dtype=jnp.float32) * (g * vs)
+        rr = vol2cam[:3, :3]
+        tt = vol2cam[:3, 3]
+        i = ax[:, None, None]
+        j = ax[None, :, None]
+        kk = ax[None, None, :]
+        cam_grid = jnp.stack(
+            [rr[a, 0] * i + rr[a, 1] * j + rr[a, 2] * kk + tt[a] for a in range(3)],
+            axis=-1,
+        )
+        return bricks.integrate_bricks(
+            cfg, vol, dists, cam_grid, g, intr, with_counts=with_counts
+        )
 
     r = vol2cam[:3, :3] * vs
     t = vol2cam[:3, 3]
@@ -216,7 +241,10 @@ def integrate(
     fused = (tsdf_f32 * w + tsdf_new_obs) / (w + 1.0)
     new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
     new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
-    return TsdfVolume(new_tsdf, new_w)
+    out = TsdfVolume(new_tsdf, new_w)
+    if with_counts:
+        return out, jnp.zeros((2,), jnp.int32)  # dense path: nothing capped
+    return out
 
 
 # --------------------------------------------------------------------------

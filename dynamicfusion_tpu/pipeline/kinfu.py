@@ -56,6 +56,11 @@ class StepOutputs(NamedTuple):
     solver_cost0: jnp.ndarray
     solver_cost1: jnp.ndarray
     node_count: jnp.ndarray
+    # (2,) int32 runtime (band, wide) brick counts of this frame's integrate
+    # (zeros for integrate_mode="dense"): if these exceed
+    # cfg.integrate_band_cap / integrate_wide_cap, part of the surface kept
+    # stale TSDF values this frame — resize the caps.
+    brick_counts: jnp.ndarray
     model_points: jnp.ndarray   # (H, W, 3) raycast model, camera frame
     model_normals: jnp.ndarray
 
@@ -202,7 +207,9 @@ def step(
     if cfg.rigid_only:
         # plain KinectFusion: rigid integrate + raycast, identity warp
         vol2cam = se3.compose(se3.inverse(pose), _vol_pose(cfg))
-        vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
+        vol, bcounts = tsdf_ops.integrate(
+            cfg, state.vol, dists, vol2cam, cfg.intr, with_counts=True
+        )
         (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
             cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists)
         )
@@ -223,6 +230,7 @@ def step(
             solver_cost0=zero,
             solver_cost1=zero,
             node_count=state.warp.count,
+            brick_counts=bcounts,
             model_points=prev_pts[0],
             model_normals=prev_nrm[0],
         )
@@ -264,8 +272,9 @@ def step(
     warp, stats = warp_solver.solve(cfg, state.warp, inputs)
 
     # ---- 5. non-rigid fusion into the canonical volume ----
-    vol = fusion.integrate_nonrigid(
-        cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr
+    vol, bcounts = fusion.integrate_nonrigid(
+        cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
+        with_counts=True,
     )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
@@ -294,6 +303,7 @@ def step(
         solver_cost0=stats.initial_cost,
         solver_cost1=stats.final_cost,
         node_count=warp.count,
+        brick_counts=bcounts,
         model_points=prev_pts[0],
         model_normals=prev_nrm[0],
     )

@@ -1,5 +1,5 @@
 """Non-rigid warp-field estimation: Gauss-Newton / Levenberg-Marquardt over
-per-node 6-dof twists with PCG inner solves — entirely on device.
+per-node 6-dof twists — entirely on device.
 
 This replaces BOTH of the reference's solver backends:
 
@@ -19,18 +19,22 @@ Design (TPU-first):
 - Unknowns: delta twists eps = (r, t) in R^{N x 6} applied multiplicatively,
   dq_i <- from_twist(eps_i) * dq_i, re-linearized every outer iteration.
 - The per-point Jacobian w.r.t. its K=8 neighbor nodes' twists is built
-  explicitly with vmap(jacfwd) (48 tangents through the DQB chain). With J
-  explicit, every PCG matvec is gather -> einsum -> scatter-add
-  (segment-sum) instead of re-running autodiff: the JtJ-apply and the
-  block-diagonal preconditioner assembly are the MXU/VPU-friendly hot ops.
+  explicitly with vmap(jacrev) (the point-to-plane residual is scalar, so
+  ONE backward pass yields all 48 partials). With J explicit, the normal
+  equations assemble as chunked one-hot-expanded A^T A matmuls on the MXU.
 - Robustness by IRLS: sqrt-Tukey weights on data residuals, sqrt-Huber on
   ARAP edge residuals, recomputed at each re-linearization.
-- LM damping with accept/reject on the true cost (lax.cond; the whole
-  nonlinear loop is a static unroll inside one jit, no host sync).
+- LM damping with accept/reject on the true cost; the whole nonlinear loop
+  is a static unroll inside one jit, no host sync.
+
+The stages are module-level functions over an explicit ``SolveStructure``
+(the per-solve constants: KNN graph, weights, validity, edge graph) so they
+can be profiled standalone and sharded independently (the distributed GN in
+parallel/ psums the per-shard JtJ/Jtr contributions).
 
 Distribution note: residuals (pixels) shard naturally; JtJ/Jtr and the
 block diagonal are segment-sums over nodes, so a multi-device solve psums
-the per-shard (N,6,6)/(N,6) contributions — see parallel/.
+the per-shard (6N,6N)/(6N,) contributions — see parallel/.
 """
 
 from __future__ import annotations
@@ -126,8 +130,24 @@ def build_edges(field: WarpField, k_edge: int = 4) -> Tuple[jnp.ndarray, jnp.nda
 
 
 # --------------------------------------------------------------------------
-# the solver
+# per-solve structure (KNN graph, weights, validity, edges)
 # --------------------------------------------------------------------------
+
+
+class SolveStructure(NamedTuple):
+    """Per-solve constants, fixed across LM iterations."""
+
+    p_can: jnp.ndarray    # (P, 3) canonical points, NaNs zeroed
+    p_live: jnp.ndarray   # (P, 3) live targets, NaNs zeroed
+    n_live: jnp.ndarray   # (P, 3) live normals, NaNs zeroed
+    valid: jnp.ndarray    # (P,) bool
+    knn_idx: jnp.ndarray  # (P, K) node ids
+    w_knn: jnp.ndarray    # (P, K) Gaussian blending weights
+    e_src: jnp.ndarray    # (E,)
+    e_dst: jnp.ndarray    # (E,)
+    e_valid: jnp.ndarray  # (E,) bool
+    v_dst: jnp.ndarray    # (E, 3) dst node positions
+    alpha: jnp.ndarray    # (E,) ARAP edge weights
 
 
 class WarpSolveInputs(NamedTuple):
@@ -137,24 +157,15 @@ class WarpSolveInputs(NamedTuple):
     n_live: jnp.ndarray   # (P, 3) live normals
 
 
-def solve(
+def prepare(
     cfg: DynamicFusionConfig,
     field: WarpField,
     inputs: WarpSolveInputs,
-    point_to_plane: Optional[bool] = None,
-) -> Tuple[WarpField, SolveStats]:
-    """Estimate the warp field for the current frame.
-
-    Equivalent pipeline role to WarpFieldOptimiser::optimiseWarpData
-    (/root/reference/kfusion/src/warp_field_optimiser.cpp:7-17) with the
-    solver schedule of kinfu.cpp:114-121 (cfg.solver_nonlinear_iters outer
-    LM steps, cfg.solver_linear_iters PCG steps)."""
-    if point_to_plane is None:
-        point_to_plane = cfg.point_to_plane
+    point_to_plane: bool,
+) -> SolveStructure:
+    """Build the per-solve structure: data-term KNN + weights + validity and
+    the ARAP edge graph (fixed for all LM iterations of one solve)."""
     k = cfg.knn_k
-    n_nodes = field.positions.shape[0]
-
-    # ---- fixed per-solve structure: KNN, weights, validity, edges ----
     valid = (
         ~jnp.isnan(inputs.p_can[:, 0])
         & ~jnp.isnan(inputs.p_live[:, 0])
@@ -174,158 +185,238 @@ def solve(
     # alpha_ij = max(dg_w_i, dg_w_j)-based edge weight (paper eq. 7 uses
     # max of the blending weights; radius-scale is the natural proxy here)
     alpha = jnp.maximum(jnp.take(field.radius, e_src), jnp.take(field.radius, e_dst))
+
+    return SolveStructure(
+        p_can=p_can,
+        p_live=p_live,
+        n_live=n_live,
+        valid=valid,
+        knn_idx=knn_idx,
+        w_knn=w_knn,
+        e_src=e_src,
+        e_dst=e_dst,
+        e_valid=e_valid,
+        v_dst=v_dst,
+        alpha=alpha,
+    )
+
+
+def residual_and_jac(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    point_to_plane: bool,
+):
+    """Residuals and explicit per-point Jacobians at eps=0, with IRLS robust
+    sqrt-weights folded in. Returns (r (P,rd), jac (P,rd,K,6),
+    re (E,3), je_i (E,3,6), je_j (E,3,6))."""
+    k = cfg.knn_k
     lam = cfg.solver_arap_weight
+    dq_k = jnp.take(dqs, s.knn_idx, axis=0)  # (P, K, 8)
 
-    res_dim = 1 if point_to_plane else 3
+    if point_to_plane:
+        fn = lambda e, d, w, pc, pl, nl: _data_residual_p2pl(e, d, w, pc, pl, nl)
+        args = (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
+    else:
+        fn = lambda e, d, w, pc, pl: _data_residual_p2p(e, d, w, pc, pl)
+        args = (dq_k, s.w_knn, s.p_can, s.p_live)
 
-    def residual_and_jac(dqs, eps0):
-        """Residuals and explicit per-point Jacobians at linearization point
-        eps0 (usually zeros), with IRLS robust sqrt-weights folded in."""
-        dq_k = jnp.take(dqs, knn_idx, axis=0)  # (P, K, 8)
+    eps_k0 = jnp.zeros((s.p_can.shape[0], k, 6), jnp.float32)
+    r = jax.vmap(fn)(eps_k0, *args)                       # (P, res_dim)
+    # reverse mode: res_dim (1 for point-to-plane) backward passes
+    # instead of K*6 = 48 forward tangents — ~10x cheaper Jacobians
+    jac = jax.vmap(jax.jacrev(fn))(eps_k0, *args)         # (P, res_dim, K, 6)
 
-        if point_to_plane:
-            fn = lambda e, d, w, pc, pl, nl: _data_residual_p2pl(e, d, w, pc, pl, nl)
-            args = (dq_k, w_knn, p_can, p_live, n_live)
-        else:
-            fn = lambda e, d, w, pc, pl: _data_residual_p2p(e, d, w, pc, pl)
-            args = (dq_k, w_knn, p_can, p_live)
+    sw = tukey_sqrt_weight(
+        jnp.linalg.norm(r, axis=-1), cfg.solver_tukey_c
+    ) * s.valid
+    r = r * sw[:, None]
+    jac = jac * sw[:, None, None, None]
 
-        eps_k0 = jnp.take(eps0, knn_idx, axis=0)  # (P, K, 6)
-        r = jax.vmap(fn)(eps_k0, *args)                       # (P, res_dim)
-        # reverse mode: res_dim (1 for point-to-plane) backward passes
-        # instead of K*6 = 48 forward tangents — ~10x cheaper Jacobians
-        jac = jax.vmap(jax.jacrev(fn))(eps_k0, *args)         # (P, res_dim, K, 6)
+    # ---- edges ----
+    e_zero = jnp.zeros((s.e_src.shape[0], 6), jnp.float32)
+    dq_i = jnp.take(dqs, s.e_src, axis=0)
+    dq_j = jnp.take(dqs, s.e_dst, axis=0)
+    re = jax.vmap(_edge_residual)(e_zero, dq_i, e_zero, dq_j, s.v_dst)  # (E, 3)
+    je = jax.vmap(jax.jacrev(_edge_residual, argnums=(0, 2)))(
+        e_zero, dq_i, e_zero, dq_j, s.v_dst
+    )  # tuple of (E, 3, 6)
 
-        sw = tukey_sqrt_weight(
-            jnp.linalg.norm(r, axis=-1), cfg.solver_tukey_c
-        ) * valid
-        r = r * sw[:, None]
-        jac = jac * sw[:, None, None, None]
+    swe = (
+        huber_sqrt_weight(jnp.linalg.norm(re, axis=-1), cfg.solver_huber_delta)
+        * s.e_valid
+        * jnp.sqrt(lam * s.alpha)
+    )
+    re = re * swe[:, None]
+    je_i = je[0] * swe[:, None, None]
+    je_j = je[1] * swe[:, None, None]
+    return r, jac, re, je_i, je_j
 
-        # ---- edges ----
-        eps_i = jnp.take(eps0, e_src, axis=0)
-        eps_j = jnp.take(eps0, e_dst, axis=0)
-        dq_i = jnp.take(dqs, e_src, axis=0)
-        dq_j = jnp.take(dqs, e_dst, axis=0)
-        re = jax.vmap(_edge_residual)(eps_i, dq_i, eps_j, dq_j, v_dst)  # (E, 3)
-        je = jax.vmap(jax.jacrev(_edge_residual, argnums=(0, 2)))(
-            eps_i, dq_i, eps_j, dq_j, v_dst
-        )  # tuple of (E, 3, 6)
 
-        swe = (
-            huber_sqrt_weight(jnp.linalg.norm(re, axis=-1), cfg.solver_huber_delta)
-            * e_valid
-            * jnp.sqrt(lam * alpha)
+def cost_at(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    point_to_plane: bool,
+) -> jnp.ndarray:
+    """True robust cost (Tukey rho for data, Huber rho for edges) at eps=0."""
+    # LM accept/reject only needs a consistent relative cost; for large
+    # point sets a strided subsample of the data term is statistically
+    # equivalent and ~4x cheaper. Small (test-scale) inputs stay exact.
+    cs = 4 if s.p_can.shape[0] > 4096 else 1
+    dq_k_s = jnp.take(dqs, s.knn_idx[::cs], axis=0)
+    eps_k = jnp.zeros((s.knn_idx[::cs].shape[0], cfg.knn_k, 6), jnp.float32)
+    if point_to_plane:
+        r = jax.vmap(_data_residual_p2pl)(
+            eps_k, dq_k_s, s.w_knn[::cs], s.p_can[::cs], s.p_live[::cs], s.n_live[::cs]
         )
-        re = re * swe[:, None]
-        je_i = je[0] * swe[:, None, None]
-        je_j = je[1] * swe[:, None, None]
-        return r, jac, re, je_i, je_j
-
-    def cost_at(dqs, eps):
-        """True robust cost (Tukey rho for data, Huber rho for edges)."""
-        # LM accept/reject only needs a consistent relative cost; for large
-        # point sets a strided subsample of the data term is statistically
-        # equivalent and ~4x cheaper. Small (test-scale) inputs stay exact.
-        cs = 4 if p_can.shape[0] > 4096 else 1
-        dq_k_s = jnp.take(dqs, knn_idx[::cs], axis=0)
-        eps_k = jnp.take(eps, knn_idx[::cs], axis=0)
-        if point_to_plane:
-            r = jax.vmap(_data_residual_p2pl)(
-                eps_k, dq_k_s, w_knn[::cs], p_can[::cs], p_live[::cs], n_live[::cs]
-            )
-        else:
-            r = jax.vmap(_data_residual_p2p)(
-                eps_k, dq_k_s, w_knn[::cs], p_can[::cs], p_live[::cs]
-            )
-        rn = jnp.linalg.norm(r, axis=-1)
-        c = cfg.solver_tukey_c
-        x2 = (rn / c) ** 2
-        rho = jnp.where(
-            x2 <= 1.0, (c * c / 6.0) * (1.0 - (1.0 - x2) ** 3), c * c / 6.0
+    else:
+        r = jax.vmap(_data_residual_p2p)(
+            eps_k, dq_k_s, s.w_knn[::cs], s.p_can[::cs], s.p_live[::cs]
         )
-        data_cost = jnp.sum(rho * valid[::cs]) * cs
+    rn = jnp.linalg.norm(r, axis=-1)
+    c = cfg.solver_tukey_c
+    x2 = (rn / c) ** 2
+    rho = jnp.where(
+        x2 <= 1.0, (c * c / 6.0) * (1.0 - (1.0 - x2) ** 3), c * c / 6.0
+    )
+    data_cost = jnp.sum(rho * s.valid[::cs]) * cs
 
-        eps_i = jnp.take(eps, e_src, axis=0)
-        eps_j = jnp.take(eps, e_dst, axis=0)
-        dq_i = jnp.take(dqs, e_src, axis=0)
-        dq_j = jnp.take(dqs, e_dst, axis=0)
-        re = jax.vmap(_edge_residual)(eps_i, dq_i, eps_j, dq_j, v_dst)
-        ren = jnp.linalg.norm(re, axis=-1)
-        d = cfg.solver_huber_delta
-        rho_e = jnp.where(ren <= d, 0.5 * ren * ren, d * (ren - 0.5 * d))
-        reg_cost = jnp.sum(rho_e * e_valid * lam * alpha)
-        return data_cost + reg_cost
+    e_zero = jnp.zeros((s.e_src.shape[0], 6), jnp.float32)
+    dq_i = jnp.take(dqs, s.e_src, axis=0)
+    dq_j = jnp.take(dqs, s.e_dst, axis=0)
+    re = jax.vmap(_edge_residual)(e_zero, dq_i, e_zero, dq_j, s.v_dst)
+    ren = jnp.linalg.norm(re, axis=-1)
+    d = cfg.solver_huber_delta
+    rho_e = jnp.where(ren <= d, 0.5 * ren * ren, d * (ren - 0.5 * d))
+    reg_cost = jnp.sum(rho_e * s.e_valid * cfg.solver_arap_weight * s.alpha)
+    return data_cost + reg_cost
 
-    zeros6 = jnp.zeros((n_nodes, 6), jnp.float32)
+
+def gn_system_dense(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+    point_to_plane: bool,
+):
+    """Linearize at eps=0 and assemble the DENSE normal equations
+    JtJ (6N, 6N), Jtr (6N).
+
+    TPU note: scatter-add over node ids (the CUDA-natural assembly) is
+    pathologically slow on TPU (serialized on duplicate indices), so the
+    sparse-row Jacobians are expanded to dense rows with one-hot
+    einsums and JtJ accumulates as chunked A^T A matmuls on the MXU —
+    the "JtJ-build at speed-of-light" kernel. 400s -> sub-second solve
+    vs the scatter/PCG formulation measured on TPU v5e."""
+    k = cfg.knn_k
+    dof = 6 * n_nodes
+    r, jac, re, je_i, je_j = residual_and_jac(cfg, s, dqs, point_to_plane)
+    p = jac.shape[0]
+    rd = jac.shape[1]
+
+    # Hessian point subsample: the step metric JtJ tolerates a strided
+    # subset of the data points (P >> dof); the gradient Jtr stays exact
+    # over all points. hs=1 disables (tests / small inputs).
+    hs = cfg.solver_hessian_stride if p > 8192 else 1
+
+    # Large chunks amortize the scan-carried (6N,6N) f32 accumulator
+    # read+write (151 MB at N=1024) over more MXU work per step.
+    chunk = min(16384, max(256, p))
+    pad = (-p) % chunk
+    jac_p = jnp.pad(jac, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    r_p = jnp.pad(r, ((0, pad), (0, 0)))
+    idx_p = jnp.pad(s.knn_idx, ((0, pad), (0, 0)))
+
+    def acc_chunk(carry, inp):
+        jtj, jtr = carry
+        jac_c, r_c, idx_c = inp
+        # The dense-row expansion and the A^T A matmul both run in bf16
+        # (halves the dominant HBM traffic; f32 accumulation on the
+        # MXU). The Hessian is only a step model — LM accept/reject
+        # uses the exact cost — so bf16 entries don't affect
+        # correctness.
+        oh = jax.nn.one_hot(idx_c[::hs], n_nodes, dtype=jnp.bfloat16)  # (C/hs, K, N)
+        a = jnp.einsum(
+            "pkn,prkd->prnd", oh, jac_c[::hs].astype(jnp.bfloat16)
+        ).reshape(-1, dof)
+        jtj = jtj + jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+        # jtr (the gradient) needs better than bf16: split jac^T r into
+        # bf16 hi + bf16 lo and run two bf16 one-hot matmuls with f32
+        # accumulation — exact to ~2^-16 relative, no f32 one-hot
+        # materialization (which costs 134 MB per chunk at N=1024)
+        jr = jnp.einsum("prkd,pr->pkd", jac_c, r_c)  # (C, K, 6) f32
+        oh_full = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.bfloat16)
+        hi = jr.astype(jnp.bfloat16)
+        lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jnp.einsum(
+            "pkn,pkd->nd", oh_full, hi, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "pkn,pkd->nd", oh_full, lo, preferred_element_type=jnp.float32
+        )
+        jtr = jtr + g.reshape(-1)
+        return (jtj, jtr), None
+
+    n_chunks = (p + pad) // chunk
+    (jtj, jtr), _ = jax.lax.scan(
+        acc_chunk,
+        (jnp.zeros((dof, dof)), jnp.zeros((dof,))),
+        (
+            jac_p.reshape(n_chunks, chunk, rd, k, 6),
+            r_p.reshape(n_chunks, chunk, rd),
+            idx_p.reshape(n_chunks, chunk, k),
+        ),
+    )
+    if hs > 1:
+        jtj = jtj * float(hs)
+
+    # edges: small (E = N * k_edge); assemble in one shot, bf16 rows like
+    # the data term (f32 A^T A at E=4k rows costs ~10 ms and 300 MB of
+    # f32 intermediates; the gradient term stays f32)
+    oh_i = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)  # (E, N)
+    oh_j = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.bfloat16)
+    ae = jnp.einsum("en,erd->ernd", oh_i, je_i.astype(jnp.bfloat16)) + jnp.einsum(
+        "en,erd->ernd", oh_j, je_j.astype(jnp.bfloat16)
+    )
+    ae = ae.reshape(-1, dof)
+    jtj = jtj + jnp.dot(ae.T, ae, preferred_element_type=jnp.float32)
+    # edge gradient in f32: (E*3,) residuals against f32 one-hot rows
+    ae32_t_re = (
+        jnp.einsum("en,erd,er->nd", oh_i.astype(jnp.float32), je_i, re)
+        + jnp.einsum("en,erd,er->nd", oh_j.astype(jnp.float32), je_j, re)
+    ).reshape(-1)
+    jtr = jtr + ae32_t_re
+    return jtj, jtr
+
+
+# --------------------------------------------------------------------------
+# the solver
+# --------------------------------------------------------------------------
+
+
+def solve(
+    cfg: DynamicFusionConfig,
+    field: WarpField,
+    inputs: WarpSolveInputs,
+    point_to_plane: Optional[bool] = None,
+) -> Tuple[WarpField, SolveStats]:
+    """Estimate the warp field for the current frame.
+
+    Equivalent pipeline role to WarpFieldOptimiser::optimiseWarpData
+    (/root/reference/kfusion/src/warp_field_optimiser.cpp:7-17) with the
+    solver schedule of kinfu.cpp:114-121 (cfg.solver_nonlinear_iters outer
+    LM steps)."""
+    if point_to_plane is None:
+        point_to_plane = cfg.point_to_plane
+    n_nodes = field.positions.shape[0]
     dof = 6 * n_nodes
 
-    def gn_system_dense(dqs):
-        """Linearize at eps=0 and assemble the DENSE normal equations
-        JtJ (6N, 6N), Jtr (6N).
-
-        TPU note: scatter-add over node ids (the CUDA-natural assembly) is
-        pathologically slow on TPU (serialized on duplicate indices), so the
-        sparse-row Jacobians are expanded to dense rows with one-hot
-        einsums and JtJ accumulates as chunked A^T A matmuls on the MXU —
-        the "JtJ-build at speed-of-light" kernel. 400s -> sub-second solve
-        vs the scatter/PCG formulation measured on TPU v5e."""
-        r, jac, re, je_i, je_j = residual_and_jac(dqs, zeros6)
-        p = jac.shape[0]
-        rd = jac.shape[1]
-
-        chunk = 4096
-        pad = (-p) % chunk
-        jac_p = jnp.pad(jac, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        r_p = jnp.pad(r, ((0, pad), (0, 0)))
-        idx_p = jnp.pad(knn_idx, ((0, pad), (0, 0)))
-
-        def acc_chunk(carry, inp):
-            jtj, jtr = carry
-            jac_c, r_c, idx_c = inp
-            # The dense-row expansion and the A^T A matmul both run in bf16
-            # (halves the dominant HBM traffic; f32 accumulation on the
-            # MXU). The Hessian is only a step model — LM accept/reject
-            # uses the exact cost — so bf16 entries don't affect
-            # correctness. J^T r (the gradient) is kept in f32 via its own
-            # small one-hot matmul below.
-            oh = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.bfloat16)  # (C, K, N)
-            a = jnp.einsum(
-                "pkn,prkd->prnd", oh, jac_c.astype(jnp.bfloat16)
-            ).reshape(-1, dof)
-            jtj = jtj + jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-            # jtr: rows (C*K, N) one-hot @ (C*K, 6) of jac^T r, exact f32
-            jr = jnp.einsum("prkd,pr->pkd", jac_c, r_c).reshape(-1, 6)
-            oh_flat = jax.nn.one_hot(idx_c.reshape(-1), n_nodes, dtype=jnp.float32)
-            jtr = jtr + (oh_flat.T @ jr).reshape(-1)
-            return (jtj, jtr), None
-
-        n_chunks = (p + pad) // chunk
-        (jtj, jtr), _ = jax.lax.scan(
-            acc_chunk,
-            (jnp.zeros((dof, dof)), jnp.zeros((dof,))),
-            (
-                jac_p.reshape(n_chunks, chunk, rd, k, 6),
-                r_p.reshape(n_chunks, chunk, rd),
-                idx_p.reshape(n_chunks, chunk, k),
-            ),
-        )
-
-        # edges: small (E = N * k_edge); assemble in one shot
-        oh_i = jax.nn.one_hot(e_src, n_nodes, dtype=jnp.float32)  # (E, N)
-        oh_j = jax.nn.one_hot(e_dst, n_nodes, dtype=jnp.float32)
-        ae = jnp.einsum("en,erd->ernd", oh_i, je_i) + jnp.einsum(
-            "en,erd->ernd", oh_j, je_j
-        )
-        ae = ae.reshape(-1, dof)
-        jtj = jtj + ae.T @ ae
-        jtr = jtr + ae.T @ re.reshape(-1)
-        return jtj, jtr
+    s = prepare(cfg, field, inputs, point_to_plane)
 
     # ---- outer LM loop (static unroll) ----
     dqs = field.dq
     lm_lambda = jnp.asarray(cfg.solver_lm_lambda_init, jnp.float32)
-    cost0 = cost_at(dqs, zeros6)
+    cost0 = cost_at(cfg, s, dqs, point_to_plane)
     accepted = jnp.zeros((), jnp.int32)
     cost_prev = cost0
 
@@ -342,7 +433,7 @@ def solve(
     for _ in range(cfg.solver_nonlinear_iters):
         jtj, jtr = jax.lax.cond(
             need_relin,
-            lambda dqs=dqs: gn_system_dense(dqs),
+            lambda dqs=dqs: gn_system_dense(cfg, s, dqs, n_nodes, point_to_plane),
             lambda: (jtj, jtr),
         )
         # LM damping on the diagonal + unit diagonal for inactive/empty dofs
@@ -369,7 +460,7 @@ def solve(
         cand = dualquat.normalize(
             dualquat.mul(dualquat.from_twist(step[:, :3], step[:, 3:]), dqs)
         )
-        cand_cost = cost_at(cand, zeros6)
+        cand_cost = cost_at(cfg, s, cand, point_to_plane)
         better = cand_cost < cost_prev
         dqs = jnp.where(better, cand, dqs)
         cost_prev = jnp.where(better, cand_cost, cost_prev)

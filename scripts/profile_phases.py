@@ -134,11 +134,14 @@ def main():
     results.update([bench_phase("raycast (full res)", mk_ray, args.iters)])
 
     # ---- phase 4: warp solve (and per-iteration marginal cost) ----
-    stride = cfg.solver_point_stride
+    # mirror kinfu.step: canonical maps live at 1/raycast_subsample res,
+    # live maps at the matching pyramid level, shared residual stride
+    shift = cfg.raycast_shift
+    stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
     can_w = se3.transform_points(pose, state.can_points)
     can_nw = se3.rotate_dirs(pose, state.can_normals)
-    live_w = se3.transform_points(pose, pts_pyr[0])
-    live_nw = se3.rotate_dirs(pose, nrm_pyr[0])
+    live_w = se3.transform_points(pose, pts_pyr[shift])
+    live_nw = se3.rotate_dirs(pose, nrm_pyr[shift])
     sub = lambda a: a[::stride, ::stride].reshape(-1, 3)
     sol_inputs = warp_solver.WarpSolveInputs(
         p_can=sub(can_w), n_can=sub(can_nw), p_live=sub(live_w), n_live=sub(live_nw))
@@ -157,6 +160,47 @@ def main():
                        sol_inputs.n_live, warp.positions, warp.dq, warp.radius,
                        warp.active, warp.count)
         results.update([bench_phase(f"warp solve (LM iters={ni})", mk_solve, args.iters)])
+
+    # ---- phase 4a: solver sub-phases ----
+    p2pl = cfg.point_to_plane
+    struct = jax.jit(
+        lambda inp: warp_solver.prepare(cfg, warp, inp, p2pl)
+    )(sol_inputs)
+
+    def mk_prep():
+        @jax.jit
+        def f(s, pc, nc, pl, nl):
+            inp = warp_solver.WarpSolveInputs(perturb(pc, s), nc, pl, nl)
+            st = warp_solver.prepare(cfg, warp, inp, p2pl)
+            return jnp.sum(st.w_knn[::512])
+        return f, (sol_inputs.p_can, sol_inputs.n_can, sol_inputs.p_live,
+                   sol_inputs.n_live)
+    results.update([bench_phase("solver: prepare (knn+edges)", mk_prep, args.iters)])
+
+    def mk_rj():
+        @jax.jit
+        def f(s, dqs):
+            r, jac, re, je_i, je_j = warp_solver.residual_and_jac(
+                cfg, struct, perturb(dqs, s), p2pl)
+            return jnp.sum(r[::512]) + jnp.sum(jac[::997]) + jnp.sum(re[::64])
+        return f, (warp.dq,)
+    results.update([bench_phase("solver: residual+jacobian", mk_rj, args.iters)])
+
+    def mk_asm():
+        @jax.jit
+        def f(s, dqs):
+            jtj, jtr = warp_solver.gn_system_dense(
+                cfg, struct, perturb(dqs, s), cfg.max_nodes, p2pl)
+            return jnp.sum(jtj[::256, ::256]) + jnp.sum(jtr[::256])
+        return f, (warp.dq,)
+    results.update([bench_phase("solver: full JtJ assembly", mk_asm, args.iters)])
+
+    def mk_cost():
+        @jax.jit
+        def f(s, dqs):
+            return warp_solver.cost_at(cfg, struct, perturb(dqs, s), p2pl)
+        return f, (warp.dq,)
+    results.update([bench_phase("solver: cost_at", mk_cost, args.iters)])
 
     # ---- phase 4b: standalone pieces ----
     n_nodes = cfg.max_nodes

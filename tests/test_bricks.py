@@ -1,0 +1,204 @@
+"""Brick-sparse integrate (ops/bricks.py) vs the dense reference path.
+
+With brick caps >= the brick count the sparse classification must reproduce
+the dense per-voxel update (same math, different evaluation order), for both
+the rigid and the DQB-warped path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.core import se3
+from dynamicfusion_tpu.io import synthetic
+from dynamicfusion_tpu.models import volume as volume_model
+from dynamicfusion_tpu.models import warpfield
+from dynamicfusion_tpu.ops import bricks, fusion, preprocess, tsdf as tsdf_ops
+
+
+def _cfg(**kw):
+    base = DynamicFusionConfig.small(dims=64, rows=120, cols=160)
+    nbr = (base.volume_dims // base.brick_size) ** 3
+    return dataclasses.replace(
+        base,
+        integrate_band_cap=nbr,
+        integrate_wide_cap=nbr,
+        **kw,
+    )
+
+
+def _dists(cfg):
+    d = synthetic.scene_depth(
+        cfg.intr, cfg.rows, cfg.cols,
+        spheres=[dict(center=(0.0, 0.0, 0.9), radius=0.2)], plane_z=1.2,
+    )
+    return preprocess.compute_dists(cfg.intr, jnp.asarray(d))
+
+
+def _vol2cam(cfg):
+    vp = se3.identity().at[:3, 3].set(jnp.asarray(cfg.volume_origin))
+    return se3.compose(se3.inverse(se3.identity()), vp)
+
+
+def test_brick_layout_roundtrip():
+    x = jnp.arange(64 ** 3, dtype=jnp.float32).reshape(64, 64, 64)
+    rows = bricks.to_bricks(x, 16)
+    assert rows.shape == (64, 4096)
+    np.testing.assert_array_equal(np.asarray(bricks.from_bricks(rows, 64, 16)), np.asarray(x))
+
+
+def test_depth_pyramid_conservative():
+    cfg = _cfg()
+    dists = np.asarray(_dists(cfg))
+    pyr = jax.jit(lambda d: bricks.build_depth_pyramid(d, 9))(jnp.asarray(dists))
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        u0, v0 = rng.randint(0, cfg.cols - 2), rng.randint(0, cfg.rows - 2)
+        u1 = rng.randint(u0, cfg.cols - 1)
+        v1 = rng.randint(v0, cfg.rows - 1)
+        dmin, dmax, av = (
+            float(a[0])
+            for a in bricks.query_rect(
+                pyr,
+                jnp.asarray([float(u0)]), jnp.asarray([float(u1)]),
+                jnp.asarray([float(v0)]), jnp.asarray([float(v1)]),
+            )
+        )
+        patch = dists[v0 : v1 + 1, u0 : u1 + 1]
+        valid = patch[patch > 0]
+        if valid.size:
+            assert dmin <= valid.min() + 1e-6
+            assert dmax >= valid.max() - 1e-6
+        if (patch > 0).all():
+            pass  # allvalid may still be 0 (conservative over a larger cell)
+        else:
+            assert av < 0.5  # must not claim all-valid when it isn't
+
+
+def _compare_vols(va, vb, atol=2e-5):
+    ta, wa = np.asarray(va.tsdf, np.float32), np.asarray(va.weight)
+    tb, wb = np.asarray(vb.tsdf, np.float32), np.asarray(vb.weight)
+    np.testing.assert_allclose(wa, wb, atol=1e-5)
+    np.testing.assert_allclose(ta, tb, atol=atol)
+
+
+def test_rigid_brick_matches_dense():
+    cfg = _cfg()
+    dists = _dists(cfg)
+    vol2cam = _vol2cam(cfg)
+    vol0 = volume_model.create(cfg)
+
+    dense_cfg = dataclasses.replace(cfg, integrate_mode="dense")
+    v_dense = jax.jit(
+        lambda v, d: tsdf_ops.integrate(dense_cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    v_brick = jax.jit(
+        lambda v, d: tsdf_ops.integrate(cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    _compare_vols(v_dense, v_brick)
+
+    # second frame accumulates identically
+    v_dense2 = jax.jit(
+        lambda v, d: tsdf_ops.integrate(dense_cfg, v, d, vol2cam, cfg.intr)
+    )(v_dense, dists)
+    v_brick2 = jax.jit(
+        lambda v, d: tsdf_ops.integrate(cfg, v, d, vol2cam, cfg.intr)
+    )(v_brick, dists)
+    _compare_vols(v_dense2, v_brick2)
+
+
+def test_rigid_brick_matches_dense_offset_pose():
+    cfg = _cfg()
+    dists = _dists(cfg)
+    pose = se3.exp_twist(jnp.asarray([0.03, -0.02, 0.01, 0.02, 0.01, -0.015]))
+    vp = se3.identity().at[:3, 3].set(jnp.asarray(cfg.volume_origin))
+    vol2cam = se3.compose(se3.inverse(pose), vp)
+    vol0 = volume_model.create(cfg)
+
+    dense_cfg = dataclasses.replace(cfg, integrate_mode="dense")
+    v_dense = jax.jit(
+        lambda v, d: tsdf_ops.integrate(dense_cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    v_brick = jax.jit(
+        lambda v, d: tsdf_ops.integrate(cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    _compare_vols(v_dense, v_brick)
+
+
+def _warped_field(cfg):
+    """A non-trivial warp field over the visible surface."""
+    rng = np.random.RandomState(1)
+    n = cfg.max_nodes
+    pos = rng.uniform(-0.25, 0.25, (n, 3)).astype(np.float32)
+    pos[:, 2] = rng.uniform(0.6, 1.1, n)
+    field = warpfield.WarpField(
+        positions=jnp.asarray(pos),
+        dq=jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 0]), (n, 8)),
+        radius=jnp.full((n,), 0.08, jnp.float32),
+        active=jnp.ones((n,), bool),
+        count=jnp.asarray(n, jnp.int32),
+    )
+    from dynamicfusion_tpu.core import dualquat
+
+    r = jnp.asarray(rng.uniform(-0.05, 0.05, (n, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(-0.02, 0.02, (n, 3)), jnp.float32)
+    return field._replace(dq=dualquat.from_twist(r, t))
+
+
+def test_nonrigid_brick_matches_dense():
+    cfg = _cfg(knn_method="exact")
+    dists = _dists(cfg)
+    field = _warped_field(cfg)
+    world2cam = se3.identity()
+    vol0 = volume_model.create(cfg)
+
+    dense_cfg = dataclasses.replace(cfg, integrate_mode="dense")
+    v_dense = jax.jit(
+        lambda v, d: fusion.integrate_nonrigid(dense_cfg, v, field, d, world2cam, cfg.intr)
+    )(vol0, dists)
+    v_brick = jax.jit(
+        lambda v, d: fusion.integrate_nonrigid(cfg, v, field, d, world2cam, cfg.intr)
+    )(vol0, dists)
+    _compare_vols(v_dense, v_brick)
+
+
+def test_wide_fallback_matches_dense():
+    # a tiny window forces most visible bricks through the WIDE direct-gather
+    # path; result must still match
+    cfg = _cfg(integrate_rect=8)
+    dists = _dists(cfg)
+    vol2cam = _vol2cam(cfg)
+    vol0 = volume_model.create(cfg)
+
+    dense_cfg = dataclasses.replace(cfg, integrate_mode="dense")
+    v_dense = jax.jit(
+        lambda v, d: tsdf_ops.integrate(dense_cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    v_brick = jax.jit(
+        lambda v, d: tsdf_ops.integrate(cfg, v, d, vol2cam, cfg.intr)
+    )(vol0, dists)
+    _compare_vols(v_dense, v_brick)
+
+
+def test_brick_counts_reasonable():
+    cfg = _cfg()
+    dists = _dists(cfg)
+    vol2cam = _vol2cam(cfg)
+    d, g = cfg.volume_dims, cfg.brick_size
+    gp = d // g + 1
+    ax = jnp.arange(gp, dtype=jnp.float32) * (g * cfg.voxel_size)
+    rr, tt = vol2cam[:3, :3], vol2cam[:3, 3]
+    i, j, k = ax[:, None, None], ax[None, :, None], ax[None, None, :]
+    cam_grid = jnp.stack(
+        [rr[a, 0] * i + rr[a, 1] * j + rr[a, 2] * k + tt[a] for a in range(3)], axis=-1
+    )
+    skip, front, band, wide = jax.tree.map(
+        int, bricks.brick_counts(cfg, d, cam_grid, g, dists, cfg.intr)
+    )
+    nbr = (d // g) ** 3
+    assert skip + front + band + wide == nbr
+    assert band < nbr  # the classification actually prunes
+    assert band + wide > 0  # and the surface lands somewhere
