@@ -79,7 +79,7 @@ class DynamicFusionConfig:
     # the runtime count; overflowing bricks keep stale values one frame —
     # size with scripts/profile_phases.py / bricks.brick_counts).
     integrate_band_cap: int = 2048
-    integrate_wide_cap: int = 128
+    integrate_wide_cap: int = 256
     integrate_rect: int = 128        # band depth-lookup window (pixels)
 
     # Raycasting

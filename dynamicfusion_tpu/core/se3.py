@@ -8,6 +8,7 @@ with jnp matrix ops. Points are (..., 3); transforms broadcast.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -49,13 +50,24 @@ def inverse(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_points(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Apply (..., 4, 4) to points (..., 3)."""
-    return p @ jnp.swapaxes(rotation(m), -1, -2) + translation(m)
+    """Apply (..., 4, 4) to points (..., 3).
+
+    HIGHEST precision: the TPU default lowers f32 matmuls to bf16 MXU
+    passes, which puts ~8 mm of noise on metre-scale points (measured) —
+    catastrophic for ICP/solver residuals at mm tolerances. The K=3
+    contraction makes HIGHEST essentially free here."""
+    hi = jax.lax.Precision.HIGHEST
+    return (
+        jnp.matmul(p, jnp.swapaxes(rotation(m), -1, -2), precision=hi)
+        + translation(m)
+    )
 
 
 def rotate_dirs(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Apply only the rotation (for directions/normals)."""
-    return v @ jnp.swapaxes(rotation(m), -1, -2)
+    return jnp.matmul(
+        v, jnp.swapaxes(rotation(m), -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:

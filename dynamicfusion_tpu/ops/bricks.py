@@ -322,9 +322,14 @@ def _voxel_positions(
     k = corner_idx.shape[0]
     pts = jnp.take(cam_flat, jnp.maximum(corner_idx, 0), axis=0).reshape(k, c, c, c, 3)
     w = _prolong_weights(b, g)  # (B, C)
-    f = jnp.einsum("ia,nabcd->nibcd", w, pts)
-    f = jnp.einsum("jb,nibcd->nijcd", w, f)
-    f = jnp.einsum("kc,nijcd->nijkd", w, f)
+    # HIGHEST: these einsums produce metric voxel positions; the TPU default
+    # (bf16 passes) injects ~1e-2 relative error => ~1 cm position noise,
+    # which lands voxels on the wrong depth pixel (measured: 1M corrupted
+    # voxels/frame at 256^3 and a diverging warp solve).
+    hi = jax.lax.Precision.HIGHEST
+    f = jnp.einsum("ia,nabcd->nibcd", w, pts, precision=hi)
+    f = jnp.einsum("jb,nibcd->nijcd", w, f, precision=hi)
+    f = jnp.einsum("kc,nijcd->nijkd", w, f, precision=hi)
     return f.reshape(k, b * b * b, 3)
 
 
@@ -376,24 +381,30 @@ def _rect_lookup(
     h, w = dists.shape
     k, bv = ri.shape
 
+    hi = jax.lax.Precision.HIGHEST  # exact one-hot selection of f32 depths
+
     def per_brick(v0i, u0i, rii, cii):
         rows_oh = (
             jax.lax.broadcasted_iota(jnp.int32, (rect, h), 1)
             == (v0i + jax.lax.broadcasted_iota(jnp.int32, (rect, h), 0))
         ).astype(jnp.float32)
-        rect_rows = jnp.dot(rows_oh, dists, preferred_element_type=jnp.float32)
+        rect_rows = jnp.dot(
+            rows_oh, dists, preferred_element_type=jnp.float32, precision=hi
+        )
         cols_oh = (
             jax.lax.broadcasted_iota(jnp.int32, (w, rect), 0)
             == (u0i + jax.lax.broadcasted_iota(jnp.int32, (w, rect), 1))
         ).astype(jnp.float32)
-        rct = jnp.dot(rect_rows, cols_oh, preferred_element_type=jnp.float32)
+        rct = jnp.dot(
+            rect_rows, cols_oh, preferred_element_type=jnp.float32, precision=hi
+        )
         row_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == rii[:, None]
         ).astype(jnp.float32)
         col_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == cii[:, None]
         ).astype(jnp.float32)
-        t = jnp.dot(row_sel, rct, preferred_element_type=jnp.float32)
+        t = jnp.dot(row_sel, rct, preferred_element_type=jnp.float32, precision=hi)
         return jnp.sum(t * col_sel, axis=-1)
 
     pad = (-k) % chunk

@@ -90,10 +90,13 @@ def warp_voxel_field(
     warped = warp_coarse_grid(cfg, field)
 
     w = _prolong_matrix(d, s)  # (D, Dc)
-    # separable prolongation: contract each spatial axis with w
-    f = jnp.einsum("ia,abcn->ibcn", w, warped)
-    f = jnp.einsum("jb,ibcn->ijcn", w, f)
-    f = jnp.einsum("kc,ijcn->ijkn", w, f)
+    # separable prolongation: contract each spatial axis with w.
+    # HIGHEST: metric positions — the TPU default bf16 matmul precision
+    # injects ~1 cm noise (wrong depth pixels downstream).
+    hi = jax.lax.Precision.HIGHEST
+    f = jnp.einsum("ia,abcn->ibcn", w, warped, precision=hi)
+    f = jnp.einsum("jb,ibcn->ijcn", w, f, precision=hi)
+    f = jnp.einsum("kc,ijcn->ijkn", w, f, precision=hi)
     return f[..., 0], f[..., 1], f[..., 2]
 
 
@@ -128,7 +131,9 @@ def integrate_nonrigid(
         warped = warp_coarse_grid(cfg, field)  # (Dc, Dc, Dc, 3) world
         r = world2cam[:3, :3]
         t = world2cam[:3, 3]
-        cam_grid = warped @ r.T + t
+        cam_grid = (
+            jnp.dot(warped, r.T, precision=jax.lax.Precision.HIGHEST) + t
+        )
         return bricks.integrate_bricks(
             cfg, vol, dists, cam_grid, cfg.knn_field_stride, intr,
             with_counts=with_counts,

@@ -309,7 +309,9 @@ def raycast(
     dirs = jnp.stack(
         [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(u)], axis=-1
     )
-    dirs = dirs @ r_cv.T
+    # HIGHEST: ray directions at bf16 default precision drift by ~1e-2 rad,
+    # i.e. centimetres at 1 m range (free: K=3 contraction)
+    dirs = jnp.matmul(dirs, r_cv.T, precision=jax.lax.Precision.HIGHEST)
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
 
     box_max = jnp.full((3,), vol_size - vs, jnp.float32)
@@ -401,10 +403,11 @@ def raycast(
 
     valid = found & ~jnp.isnan(normal_vol).any(axis=-1) & (nn[..., 0] > 1e-12)
 
-    # back to camera frame
+    # back to camera frame (HIGHEST: metric points, see dirs above)
+    hi = jax.lax.Precision.HIGHEST
     r_vc = r_cv.T
-    vertex_cam = (vertex_vol - ray_org) @ r_vc.T
-    normal_cam = normal_vol @ r_vc.T
+    vertex_cam = jnp.matmul(vertex_vol - ray_org, r_vc.T, precision=hi)
+    normal_cam = jnp.matmul(normal_vol, r_vc.T, precision=hi)
 
     return RaycastResult(
         points=jnp.where(valid[..., None], vertex_cam, NAN),

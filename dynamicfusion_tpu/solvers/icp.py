@@ -75,8 +75,11 @@ def _build_system(
 
     m = mask.astype(jnp.float32)[..., None]
     row = row * m
-    a = jnp.einsum("hwi,hwj->ij", row, row)
-    b = jnp.einsum("hwi,hw->i", row, rhs)
+    # HIGHEST: the 6x6 normal equations feed a near-singular solve; bf16
+    # accumulation noise shifts the pose estimate by >voxel amounts
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.einsum("hwi,hwj->ij", row, row, precision=hi)
+    b = jnp.einsum("hwi,hw->i", row, rhs, precision=hi)
     return a, b
 
 

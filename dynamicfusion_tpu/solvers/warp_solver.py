@@ -306,9 +306,12 @@ def gn_system_dense(
     TPU note: scatter-add over node ids (the CUDA-natural assembly) is
     pathologically slow on TPU (serialized on duplicate indices), so the
     sparse-row Jacobians are expanded to dense rows with one-hot
-    einsums and JtJ accumulates as chunked A^T A matmuls on the MXU —
-    the "JtJ-build at speed-of-light" kernel. 400s -> sub-second solve
-    vs the scatter/PCG formulation measured on TPU v5e."""
+    einsums and JtJ is ONE bf16 A^T A syrk on the MXU (f32 accumulation)
+    over the concatenated data+edge rows — the "JtJ-build at
+    speed-of-light" kernel. 400s -> sub-second solve vs the scatter/PCG
+    formulation measured on TPU v5e. Materializing the full row matrix
+    (P/hs + 3E, 6N) bf16 once beats the earlier chunked lax.scan, whose
+    (6N,6N) f32 carry paid 151 MB of read+write per chunk."""
     k = cfg.knn_k
     dof = 6 * n_nodes
     r, jac, re, je_i, je_j = residual_and_jac(cfg, s, dqs, point_to_plane)
@@ -320,66 +323,56 @@ def gn_system_dense(
     # over all points. hs=1 disables (tests / small inputs).
     hs = cfg.solver_hessian_stride if p > 8192 else 1
 
-    # Large chunks amortize the scan-carried (6N,6N) f32 accumulator
-    # read+write (151 MB at N=1024) over more MXU work per step.
-    chunk = min(16384, max(256, p))
-    pad = (-p) % chunk
-    jac_p = jnp.pad(jac, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    r_p = jnp.pad(r, ((0, pad), (0, 0)))
-    idx_p = jnp.pad(s.knn_idx, ((0, pad), (0, 0)))
-
-    def acc_chunk(carry, inp):
-        jtj, jtr = carry
-        jac_c, r_c, idx_c = inp
-        # The dense-row expansion and the A^T A matmul both run in bf16
-        # (halves the dominant HBM traffic; f32 accumulation on the
-        # MXU). The Hessian is only a step model — LM accept/reject
-        # uses the exact cost — so bf16 entries don't affect
-        # correctness.
-        oh = jax.nn.one_hot(idx_c[::hs], n_nodes, dtype=jnp.bfloat16)  # (C/hs, K, N)
-        a = jnp.einsum(
-            "pkn,prkd->prnd", oh, jac_c[::hs].astype(jnp.bfloat16)
-        ).reshape(-1, dof)
-        jtj = jtj + jnp.dot(a.T, a, preferred_element_type=jnp.float32)
-        # jtr (the gradient) needs better than bf16: split jac^T r into
-        # bf16 hi + bf16 lo and run two bf16 one-hot matmuls with f32
-        # accumulation — exact to ~2^-16 relative, no f32 one-hot
-        # materialization (which costs 134 MB per chunk at N=1024)
-        jr = jnp.einsum("prkd,pr->pkd", jac_c, r_c)  # (C, K, 6) f32
-        oh_full = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.bfloat16)
-        hi = jr.astype(jnp.bfloat16)
-        lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = jnp.einsum(
-            "pkn,pkd->nd", oh_full, hi, preferred_element_type=jnp.float32
-        ) + jnp.einsum(
-            "pkn,pkd->nd", oh_full, lo, preferred_element_type=jnp.float32
-        )
-        jtr = jtr + g.reshape(-1)
-        return (jtj, jtr), None
-
-    n_chunks = (p + pad) // chunk
-    (jtj, jtr), _ = jax.lax.scan(
-        acc_chunk,
-        (jnp.zeros((dof, dof)), jnp.zeros((dof,))),
-        (
-            jac_p.reshape(n_chunks, chunk, rd, k, 6),
-            r_p.reshape(n_chunks, chunk, rd),
-            idx_p.reshape(n_chunks, chunk, k),
-        ),
-    )
-    if hs > 1:
-        jtj = jtj * float(hs)
-
-    # edges: small (E = N * k_edge); assemble in one shot, bf16 rows like
-    # the data term (f32 A^T A at E=4k rows costs ~10 ms and 300 MB of
-    # f32 intermediates; the gradient term stays f32)
+    # ---- JtJ: one syrk over concatenated bf16 rows ----
+    # The Hessian is only a step model — LM accept/reject uses the exact
+    # cost — so bf16 rows don't affect correctness.
+    oh = jax.nn.one_hot(s.knn_idx[::hs], n_nodes, dtype=jnp.bfloat16)  # (Ph,K,N)
+    a = jnp.einsum(
+        "pkn,prkd->prnd", oh, jac[::hs].astype(jnp.bfloat16)
+    ).reshape(-1, dof)
     oh_i = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)  # (E, N)
     oh_j = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.bfloat16)
     ae = jnp.einsum("en,erd->ernd", oh_i, je_i.astype(jnp.bfloat16)) + jnp.einsum(
         "en,erd->ernd", oh_j, je_j.astype(jnp.bfloat16)
     )
-    ae = ae.reshape(-1, dof)
-    jtj = jtj + jnp.dot(ae.T, ae, preferred_element_type=jnp.float32)
+    # data rows are scaled back by hs after the syrk; pre-scale the edge
+    # rows by 1/sqrt(hs) so one concatenated syrk serves both
+    ae = (ae * (1.0 / math.sqrt(hs))).reshape(-1, dof)
+    rows = jnp.concatenate([a, ae], axis=0)
+    jtj = jnp.dot(rows.T, rows, preferred_element_type=jnp.float32) * float(hs)
+
+    # ---- Jtr: exact over all points; only a (6N,) carry per chunk ----
+    # jr = jac^T r needs better than bf16: split into bf16 hi + bf16 lo and
+    # run two bf16 one-hot matmuls with f32 accumulation — exact to ~2^-16
+    # relative, no f32 one-hot materialization.
+    chunk = min(16384, max(256, p))
+    pad = (-p) % chunk
+    jr = jnp.einsum("prkd,pr->pkd", jac, r)  # (P, K, 6) f32
+    jr_p = jnp.pad(jr, ((0, pad), (0, 0), (0, 0)))
+    idx_p = jnp.pad(s.knn_idx, ((0, pad), (0, 0)))
+    n_chunks = (p + pad) // chunk
+
+    def acc_chunk(jtr, inp):
+        jr_c, idx_c = inp
+        oh_full = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.bfloat16)
+        hi = jr_c.astype(jnp.bfloat16)
+        lo = (jr_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jnp.einsum(
+            "pkn,pkd->nd", oh_full, hi, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "pkn,pkd->nd", oh_full, lo, preferred_element_type=jnp.float32
+        )
+        return jtr + g.reshape(-1), None
+
+    jtr, _ = jax.lax.scan(
+        acc_chunk,
+        jnp.zeros((dof,)),
+        (
+            jr_p.reshape(n_chunks, chunk, k, 6),
+            idx_p.reshape(n_chunks, chunk, k),
+        ),
+    )
+
     # edge gradient in f32: (E*3,) residuals against f32 one-hot rows
     ae32_t_re = (
         jnp.einsum("en,erd,er->nd", oh_i.astype(jnp.float32), je_i, re)
