@@ -53,22 +53,15 @@ def build_cfg(args) -> DynamicFusionConfig:
 
 
 def frame_source(args, cfg):
-    if args.synthetic:
-        def gen():
-            for t in range(args.synthetic):
-                sp = [
-                    dict(center=(0.0, 0.0, 0.95), radius=0.22),
-                    dict(center=(0.2 + 0.008 * np.sin(0.4 * t), 0.1, 0.8), radius=0.1),
-                ]
-                yield synthetic.scene_depth(
-                    cfg.intr, cfg.rows, cfg.cols, spheres=sp, plane_z=1.25
-                )
-        return gen(), args.synthetic
-    from dynamicfusion_tpu.io.dataset import DepthSequence
+    """Open a FrameSource (io.capture): dataset dir, synthetic, or OpenNI."""
+    from dynamicfusion_tpu.io import capture
 
-    seq = DepthSequence(args.data_dir)
-    n = len(seq) if args.frames is None else min(args.frames, len(seq))
-    return (seq.depth(i) for i in range(n)), n
+    spec = f"synthetic:{args.synthetic}" if args.synthetic else args.data_dir
+    src = capture.open_source(spec, cfg=cfg)
+    n = len(src)
+    if args.frames is not None:
+        n = min(args.frames, n)
+    return (f[0] for _, f in zip(range(n), src)), n
 
 
 def main():
@@ -131,7 +124,9 @@ def main():
             np.asarray(normals),
         )
         checkpoint.save(os.path.join(args.out, "final_state.npz"), df.state)
-        print(f"saved canonical cloud + state to {args.out}")
+        df.save_mesh(os.path.join(args.out, "canonical_mesh.ply"))
+        df.save_mesh(os.path.join(args.out, "live_mesh.ply"), live=True)
+        print(f"saved canonical cloud + meshes + state to {args.out}")
 
 
 if __name__ == "__main__":

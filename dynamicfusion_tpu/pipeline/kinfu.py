@@ -353,6 +353,49 @@ class DynamicFusion:
             time = -1
         return self.poses[time]
 
+    def extract_mesh(self, live: bool = False):
+        """Triangle mesh of the canonical surface (marching tetrahedra over
+        the TSDF zero crossing). With live=True the vertices are DQB-warped
+        by the current field into the live frame — the deformed surface.
+        New capability vs the reference (Report.md:57 lists mesh export as
+        future work)."""
+        from dynamicfusion_tpu.io import export as export_mod
+        from dynamicfusion_tpu.models import warpfield as wf
+
+        mesh = export_mod.extract_mesh(self.cfg, self.state.vol)
+        if live and len(mesh.vertices):
+            v, n = wf.warp_points(
+                self.state.warp,
+                jnp.asarray(mesh.vertices),
+                jnp.asarray(mesh.normals),
+                k=self.cfg.knn_k,
+                method=self.cfg.knn_method,
+            )
+            import numpy as np
+
+            mesh = mesh._replace(
+                vertices=np.asarray(v, np.float32),
+                normals=np.asarray(n, np.float32),
+            )
+        return mesh
+
+    def save_mesh(self, path: str, live: bool = False):
+        """Extract and write the surface mesh (.ply binary / .obj)."""
+        from dynamicfusion_tpu.io import export as export_mod
+
+        export_mod.save_mesh(path, self.extract_mesh(live=live))
+
+    def save_cloud(self, path: str):
+        """Write the extracted canonical surface point cloud
+        (fetchCloud/fetchNormals equivalent, tsdf_volume.cpp:181-218)."""
+        from dynamicfusion_tpu.io import export as export_mod
+        from dynamicfusion_tpu.ops import tsdf as tsdf_ops_mod
+
+        cloud = tsdf_ops_mod.extract_cloud(
+            self.cfg, self.state.vol, max_points=1 << 20
+        )
+        export_mod.save_ply(path, cloud.points)
+
     def render(self, mode: int = 0, pose=None):
         """Render the model: from the last raycast (KinFu::renderImage,
         kinfu.cpp:312-337) or, with `pose`, from an arbitrary viewpoint via
