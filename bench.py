@@ -131,7 +131,7 @@ def main():
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--dims", type=int, default=256)
     ap.add_argument("--nodes", type=int, default=1024)
-    ap.add_argument("--solver-iters", type=int, default=5)
+    ap.add_argument("--solver-iters", type=int, default=3)
     ap.add_argument("--point-stride", type=int, default=2)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--rigid", action="store_true",
@@ -175,7 +175,7 @@ def main():
             "frame": f"{cfg.cols}x{cfg.rows}",
             "volume": f"{cfg.volume_dims}^3",
             "nodes": cfg.max_nodes,
-            "solver": f"LM{cfg.solver_nonlinear_iters}xdirect",
+            "solver": f"LM{cfg.solver_nonlinear_iters}x{cfg.solver_linear}{cfg.solver_linear_iters if cfg.solver_linear == 'pcg' else ''}",
         },
         "ms_per_frame": round(1000.0 * elapsed / args.frames, 1),
         "compile_s": round(compile_s, 1),

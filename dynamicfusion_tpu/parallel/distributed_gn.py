@@ -1,0 +1,130 @@
+"""Schur-reduced distributed Gauss-Newton over a device mesh.
+
+The explicit collective formulation of the warp solve's distribution (the
+GSPMD path in parallel/sharded.py trusts the partitioner; this module IS
+the communication pattern, written out with shard_map + psum — the
+"distributed GN via per-node JtJ/Jtr block reduction over ICI collectives"
+of BASELINE.json):
+
+- the data term's P surface points shard across the mesh axis; each device
+  assembles its shard's contribution to the (6N, 6N) normal equations with
+  the same bf16 one-hot MXU syrk as the single-device path
+  (solvers.warp_solver.data_system);
+- ONE ``psum`` per relinearization all-reduces JtJ and Jtr over ICI — the
+  Schur reduction onto the per-node block system (nothing else in the LM
+  loop communicates: the ARAP edge system, the PCG solve, and the LM
+  bookkeeping are replicated node-space work);
+- the nonlinear LM loop is unchanged — ``warp_solver.solve`` takes the
+  sharded assembly through its ``system_fn`` hook.
+
+The reference has no multi-device anything (SURVEY §2.a); the analogous
+CUDA structure is its per-block ICP tree reduction (proj_icp.cu:111-394),
+which this generalizes across chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.models.warpfield import WarpField
+from dynamicfusion_tpu.solvers import warp_solver
+from dynamicfusion_tpu.solvers.warp_solver import SolveStructure, WarpSolveInputs
+
+
+def _pad_points(s: SolveStructure, n_dev: int) -> SolveStructure:
+    """Pad the point-set fields so P divides the mesh (padded rows carry
+    valid=False and contribute exact zeros to the system)."""
+    p = s.p_can.shape[0]
+    pad = (-p) % n_dev
+    if pad == 0:
+        return s
+    pz = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+    return s._replace(
+        p_can=pz(s.p_can),
+        p_live=pz(s.p_live),
+        n_live=pz(s.n_live),
+        valid=pz(s.valid),
+        knn_idx=pz(s.knn_idx),
+        w_knn=pz(s.w_knn),
+    )
+
+
+def structure_specs(axis: str) -> SolveStructure:
+    """PartitionSpecs for a SolveStructure: point fields sharded over the
+    mesh axis, edge fields replicated."""
+    pt = P(axis)
+    rep = P()
+    return SolveStructure(
+        p_can=pt, p_live=pt, n_live=pt, valid=pt, knn_idx=pt, w_knn=pt,
+        e_src=rep, e_dst=rep, e_valid=rep, v_dst=rep, alpha=rep,
+    )
+
+
+def make_sharded_system(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    n_nodes: int,
+    point_to_plane: bool,
+    axis: str = "d",
+):
+    """system_fn(s, dqs) -> (jtj, jtr) where the data-term assembly runs on
+    point shards and ONE psum reduces the (6N,6N)/(6N,) partials."""
+    specs = structure_specs(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=(P(), P()),
+    )
+    def system(s_local: SolveStructure, dqs: jnp.ndarray):
+        jtj_d, jtr_d = warp_solver.data_system(
+            cfg, s_local, dqs, n_nodes, point_to_plane
+        )
+        jtj_d = jax.lax.psum(jtj_d, axis)       # the Schur reduction (ICI)
+        jtr_d = jax.lax.psum(jtr_d, axis)
+        # edge system is replicated node-space work (identical on every
+        # device; E = N*k_edge is tiny next to the data shard)
+        jtj_e, jtr_e = warp_solver.edge_system(cfg, s_local, dqs, n_nodes)
+        return jtj_d + jtj_e, jtr_d + jtr_e
+
+    return system
+
+
+def solve_distributed(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    field: WarpField,
+    inputs: WarpSolveInputs,
+    point_to_plane: Optional[bool] = None,
+    axis: str = "d",
+) -> Tuple[WarpField, warp_solver.SolveStats]:
+    """The full warp solve with the explicitly-distributed assembly:
+    identical math to warp_solver.solve (same prepare, LM loop, PCG), the
+    normal equations assembled per point shard + psum'd.
+
+    Call under jit with `inputs` sharded over points (or replicated; the
+    structure is re-laid-out here either way)."""
+    if point_to_plane is None:
+        point_to_plane = cfg.point_to_plane
+    n_dev = mesh.shape[axis]
+    n_nodes = field.positions.shape[0]
+    sys_fn = make_sharded_system(cfg, mesh, n_nodes, point_to_plane, axis)
+
+    def system_fn(s: SolveStructure, dqs: jnp.ndarray):
+        s = _pad_points(s, n_dev)
+        s = jax.lax.with_sharding_constraint(
+            s, jax.tree.map(lambda sp: NamedSharding(mesh, sp), structure_specs(axis))
+        )
+        return sys_fn(s, dqs)
+
+    return warp_solver.solve(
+        cfg, field, inputs, point_to_plane=point_to_plane, system_fn=system_fn
+    )

@@ -164,8 +164,16 @@ def prepare(
     point_to_plane: bool,
 ) -> SolveStructure:
     """Build the per-solve structure: data-term KNN + weights + validity and
-    the ARAP edge graph (fixed for all LM iterations of one solve)."""
+    the ARAP edge graph (fixed for all LM iterations of one solve).
+
+    Large point sets are subsampled ONCE here by cfg.solver_hessian_stride
+    (a strided pixel subset of an already-dense surface sampling); the
+    whole solve — cost, gradient, Hessian — then runs on the same
+    consistent, hs-importance-weighted objective. P >> 6*N_nodes survives
+    comfortably (e.g. 19200 residuals for 6144 dof at the bench shape)."""
     k = cfg.knn_k
+    hs = cfg.solver_hessian_stride if inputs.p_can.shape[0] > 8192 else 1
+    inputs = WarpSolveInputs(*(a[::hs] for a in inputs))
     valid = (
         ~jnp.isnan(inputs.p_can[:, 0])
         & ~jnp.isnan(inputs.p_live[:, 0])
@@ -183,8 +191,12 @@ def prepare(
     e_src, e_dst, e_valid = build_edges(field)
     v_dst = jnp.take(field.positions, e_dst, axis=0)
     # alpha_ij = max(dg_w_i, dg_w_j)-based edge weight (paper eq. 7 uses
-    # max of the blending weights; radius-scale is the natural proxy here)
-    alpha = jnp.maximum(jnp.take(field.radius, e_src), jnp.take(field.radius, e_dst))
+    # max of the blending weights; radius-scale is the natural proxy here).
+    # The 1/hs keeps the data/ARAP balance of the full-resolution objective
+    # after the stride-hs data subsampling above (objective / hs overall).
+    alpha = jnp.maximum(
+        jnp.take(field.radius, e_src), jnp.take(field.radius, e_dst)
+    ) * (1.0 / hs)
 
     return SolveStructure(
         p_can=p_can,
@@ -201,17 +213,18 @@ def prepare(
     )
 
 
-def residual_and_jac(
+def data_residual_and_jac(
     cfg: DynamicFusionConfig,
     s: SolveStructure,
     dqs: jnp.ndarray,
     point_to_plane: bool,
 ):
-    """Residuals and explicit per-point Jacobians at eps=0, with IRLS robust
-    sqrt-weights folded in. Returns (r (P,rd), jac (P,rd,K,6),
-    re (E,3), je_i (E,3,6), je_j (E,3,6))."""
+    """Data-term residuals and explicit per-point Jacobians at eps=0, IRLS
+    Tukey sqrt-weights folded in. Touches only the point fields of ``s``
+    (so it runs unchanged on a point shard inside shard_map — the basis of
+    the distributed GN in parallel/distributed_gn.py). Returns
+    (r (P, rd), jac (P, rd, K, 6))."""
     k = cfg.knn_k
-    lam = cfg.solver_arap_weight
     dq_k = jnp.take(dqs, s.knn_idx, axis=0)  # (P, K, 8)
 
     if point_to_plane:
@@ -221,7 +234,13 @@ def residual_and_jac(
         fn = lambda e, d, w, pc, pl: _data_residual_p2p(e, d, w, pc, pl)
         args = (dq_k, s.w_knn, s.p_can, s.p_live)
 
-    eps_k0 = jnp.zeros((s.p_can.shape[0], k, 6), jnp.float32)
+    # TOOLCHAIN NOTE: the zero linearization point must be derived from a
+    # sharded operand. A literal jnp.zeros((P, k, 6)) created inside a
+    # shard_map body silently corrupts the vmap(jacrev) result on this jax
+    # version (values ~5x off; primal unaffected) — anchoring the constant
+    # to s.p_can keeps its sharding consistent with the batch.
+    zero_p = s.p_can[:, :1, None] * 0.0                   # (P, 1, 1)
+    eps_k0 = jnp.broadcast_to(zero_p, (s.p_can.shape[0], k, 6)) + 0.0
     r = jax.vmap(fn)(eps_k0, *args)                       # (P, res_dim)
     # reverse mode: res_dim (1 for point-to-plane) backward passes
     # instead of K*6 = 48 forward tangents — ~10x cheaper Jacobians
@@ -232,9 +251,21 @@ def residual_and_jac(
     ) * s.valid
     r = r * sw[:, None]
     jac = jac * sw[:, None, None, None]
+    return r, jac
 
-    # ---- edges ----
-    e_zero = jnp.zeros((s.e_src.shape[0], 6), jnp.float32)
+
+def edge_residual_and_jac(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+):
+    """ARAP edge residuals and Jacobians at eps=0, Huber sqrt-weights and
+    edge weights folded in. Returns (re (E,3), je_i (E,3,6), je_j (E,3,6))."""
+    lam = cfg.solver_arap_weight
+    # anchored zeros — see the toolchain note in data_residual_and_jac
+    e_zero = jnp.broadcast_to(
+        s.v_dst[:, :1] * 0.0, (s.e_src.shape[0], 6)
+    ) + 0.0
     dq_i = jnp.take(dqs, s.e_src, axis=0)
     dq_j = jnp.take(dqs, s.e_dst, axis=0)
     re = jax.vmap(_edge_residual)(e_zero, dq_i, e_zero, dq_j, s.v_dst)  # (E, 3)
@@ -250,6 +281,18 @@ def residual_and_jac(
     re = re * swe[:, None]
     je_i = je[0] * swe[:, None, None]
     je_j = je[1] * swe[:, None, None]
+    return re, je_i, je_j
+
+
+def residual_and_jac(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    point_to_plane: bool,
+):
+    """Residuals and Jacobians for both terms (back-compat wrapper)."""
+    r, jac = data_residual_and_jac(cfg, s, dqs, point_to_plane)
+    re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
     return r, jac, re, je_i, je_j
 
 
@@ -259,20 +302,17 @@ def cost_at(
     dqs: jnp.ndarray,
     point_to_plane: bool,
 ) -> jnp.ndarray:
-    """True robust cost (Tukey rho for data, Huber rho for edges) at eps=0."""
-    # LM accept/reject only needs a consistent relative cost; for large
-    # point sets a strided subsample of the data term is statistically
-    # equivalent and ~4x cheaper. Small (test-scale) inputs stay exact.
-    cs = 4 if s.p_can.shape[0] > 4096 else 1
-    dq_k_s = jnp.take(dqs, s.knn_idx[::cs], axis=0)
-    eps_k = jnp.zeros((s.knn_idx[::cs].shape[0], cfg.knn_k, 6), jnp.float32)
+    """True robust cost (Tukey rho for data, Huber rho for edges) at eps=0,
+    over the (already prepare-subsampled) solve point set."""
+    dq_k_s = jnp.take(dqs, s.knn_idx, axis=0)
+    eps_k = jnp.zeros((s.knn_idx.shape[0], cfg.knn_k, 6), jnp.float32)
     if point_to_plane:
         r = jax.vmap(_data_residual_p2pl)(
-            eps_k, dq_k_s, s.w_knn[::cs], s.p_can[::cs], s.p_live[::cs], s.n_live[::cs]
+            eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live, s.n_live
         )
     else:
         r = jax.vmap(_data_residual_p2p)(
-            eps_k, dq_k_s, s.w_knn[::cs], s.p_can[::cs], s.p_live[::cs]
+            eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live
         )
     rn = jnp.linalg.norm(r, axis=-1)
     c = cfg.solver_tukey_c
@@ -280,7 +320,7 @@ def cost_at(
     rho = jnp.where(
         x2 <= 1.0, (c * c / 6.0) * (1.0 - (1.0 - x2) ** 3), c * c / 6.0
     )
-    data_cost = jnp.sum(rho * s.valid[::cs]) * cs
+    data_cost = jnp.sum(rho * s.valid)
 
     e_zero = jnp.zeros((s.e_src.shape[0], 6), jnp.float32)
     dq_i = jnp.take(dqs, s.e_src, axis=0)
@@ -312,74 +352,143 @@ def gn_system_dense(
     formulation measured on TPU v5e. Materializing the full row matrix
     (P/hs + 3E, 6N) bf16 once beats the earlier chunked lax.scan, whose
     (6N,6N) f32 carry paid 151 MB of read+write per chunk."""
-    k = cfg.knn_k
+    jtj, jtr = data_system(cfg, s, dqs, n_nodes, point_to_plane)
+    jtj_e, jtr_e = edge_system(cfg, s, dqs, n_nodes)
+    return jtj + jtj_e, jtr + jtr_e
+
+
+def data_system(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+    point_to_plane: bool,
+):
+    """Data-term contribution to the normal equations. Touches only the
+    point fields of ``s`` — on a point shard inside shard_map this is the
+    per-device partial whose psum is the distributed GN reduction."""
     dof = 6 * n_nodes
-    r, jac, re, je_i, je_j = residual_and_jac(cfg, s, dqs, point_to_plane)
-    p = jac.shape[0]
-    rd = jac.shape[1]
+    r, jac = data_residual_and_jac(cfg, s, dqs, point_to_plane)
 
-    # Hessian point subsample: the step metric JtJ tolerates a strided
-    # subset of the data points (P >> dof); the gradient Jtr stays exact
-    # over all points. hs=1 disables (tests / small inputs).
-    hs = cfg.solver_hessian_stride if p > 8192 else 1
-
-    # ---- JtJ: one syrk over concatenated bf16 rows ----
+    # ---- JtJ: one syrk over bf16 one-hot-expanded rows ----
     # The Hessian is only a step model — LM accept/reject uses the exact
-    # cost — so bf16 rows don't affect correctness.
-    oh = jax.nn.one_hot(s.knn_idx[::hs], n_nodes, dtype=jnp.bfloat16)  # (Ph,K,N)
+    # cost — so bf16 rows don't affect correctness. (The data subsample
+    # happened once in prepare(); cost/gradient/Hessian all see the same
+    # objective.)
+    oh = jax.nn.one_hot(s.knn_idx, n_nodes, dtype=jnp.bfloat16)  # (P,K,N)
     a = jnp.einsum(
-        "pkn,prkd->prnd", oh, jac[::hs].astype(jnp.bfloat16)
+        "pkn,prkd->prnd", oh, jac.astype(jnp.bfloat16)
     ).reshape(-1, dof)
-    oh_i = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)  # (E, N)
-    oh_j = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.bfloat16)
-    ae = jnp.einsum("en,erd->ernd", oh_i, je_i.astype(jnp.bfloat16)) + jnp.einsum(
-        "en,erd->ernd", oh_j, je_j.astype(jnp.bfloat16)
-    )
-    # data rows are scaled back by hs after the syrk; pre-scale the edge
-    # rows by 1/sqrt(hs) so one concatenated syrk serves both
-    ae = (ae * (1.0 / math.sqrt(hs))).reshape(-1, dof)
-    rows = jnp.concatenate([a, ae], axis=0)
-    jtj = jnp.dot(rows.T, rows, preferred_element_type=jnp.float32) * float(hs)
+    jtj = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
 
-    # ---- Jtr: exact over all points; only a (6N,) carry per chunk ----
+    # ---- Jtr ----
     # jr = jac^T r needs better than bf16: split into bf16 hi + bf16 lo and
     # run two bf16 one-hot matmuls with f32 accumulation — exact to ~2^-16
-    # relative, no f32 one-hot materialization.
-    chunk = min(16384, max(256, p))
-    pad = (-p) % chunk
+    # relative, no f32 one-hot materialization (reuses the JtJ one-hot).
     jr = jnp.einsum("prkd,pr->pkd", jac, r)  # (P, K, 6) f32
-    jr_p = jnp.pad(jr, ((0, pad), (0, 0), (0, 0)))
-    idx_p = jnp.pad(s.knn_idx, ((0, pad), (0, 0)))
-    n_chunks = (p + pad) // chunk
+    hi = jr.astype(jnp.bfloat16)
+    lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    jtr = (
+        jnp.einsum("pkn,pkd->nd", oh, hi, preferred_element_type=jnp.float32)
+        + jnp.einsum("pkn,pkd->nd", oh, lo, preferred_element_type=jnp.float32)
+    ).reshape(-1)
+    return jtj, jtr
 
-    def acc_chunk(jtr, inp):
-        jr_c, idx_c = inp
-        oh_full = jax.nn.one_hot(idx_c, n_nodes, dtype=jnp.bfloat16)
-        hi = jr_c.astype(jnp.bfloat16)
-        lo = (jr_c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = jnp.einsum(
-            "pkn,pkd->nd", oh_full, hi, preferred_element_type=jnp.float32
-        ) + jnp.einsum(
-            "pkn,pkd->nd", oh_full, lo, preferred_element_type=jnp.float32
-        )
-        return jtr + g.reshape(-1), None
 
-    jtr, _ = jax.lax.scan(
-        acc_chunk,
-        jnp.zeros((dof,)),
-        (
-            jr_p.reshape(n_chunks, chunk, k, 6),
-            idx_p.reshape(n_chunks, chunk, k),
-        ),
-    )
+def edge_system(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+):
+    """ARAP edge contribution to the normal equations (small: E = N*k_edge
+    rows; replicated in the distributed solve)."""
+    dof = 6 * n_nodes
+    re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
+    oh_i = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)  # (E, N)
+    oh_j = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.bfloat16)
+    ae = (
+        jnp.einsum("en,erd->ernd", oh_i, je_i.astype(jnp.bfloat16))
+        + jnp.einsum("en,erd->ernd", oh_j, je_j.astype(jnp.bfloat16))
+    ).reshape(-1, dof)
+    jtj = jnp.dot(ae.T, ae, preferred_element_type=jnp.float32)
 
     # edge gradient in f32: (E*3,) residuals against f32 one-hot rows
-    ae32_t_re = (
+    jtr = (
         jnp.einsum("en,erd,er->nd", oh_i.astype(jnp.float32), je_i, re)
         + jnp.einsum("en,erd,er->nd", oh_j.astype(jnp.float32), je_j, re)
     ).reshape(-1)
-    jtr = jtr + ae32_t_re
     return jtj, jtr
+
+
+# --------------------------------------------------------------------------
+# linear solvers
+# --------------------------------------------------------------------------
+
+
+def _block_diag_inv(a: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """(N, 6, 6) inverses of the per-node diagonal blocks of a (6N, 6N)
+    SPD matrix — the block-Jacobi preconditioner (the same per-node Schur
+    block the distributed GN reduces over)."""
+    blocks = a.reshape(n_nodes, 6, n_nodes, 6)
+    ar = jnp.arange(n_nodes)
+    diag_blocks = blocks[ar, :, ar, :]  # (N, 6, 6)
+    return jnp.linalg.inv(diag_blocks)
+
+
+def _pcg_solve(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_nodes: int,
+    iters: int,
+    rtol: float,
+) -> jnp.ndarray:
+    """Preconditioned conjugate gradients with the block-Jacobi (per-node
+    6x6) preconditioner — the structure of the reference's actually-used
+    solver (Opt GN/LM with linearIter=100 PCG, kinfu.cpp:116-117), kept on
+    device: each iteration is one (6N,6N) matvec + O(6N) vector work, and
+    under a sharded mesh the matvec psums over node shards (vs the O((6N)^3)
+    replicated Cholesky)."""
+    minv = _block_diag_inv(a, n_nodes)
+
+    def apply_m(v):
+        return jnp.einsum("nij,nj->ni", minv, v.reshape(n_nodes, 6)).reshape(-1)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_m(r0)
+    p0 = z0
+    stop2 = (rtol * rtol) * jnp.dot(b, b)
+
+    def cond(st):
+        i, _, r, _, _ = st
+        return (i < iters) & (jnp.dot(r, r) > stop2)
+
+    def body(st):
+        i, x, r, p, rz = st
+        ap = a @ p
+        alpha = rz / jnp.maximum(jnp.dot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = apply_m(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return (i + 1, x, r, z + beta * p, rz_new)
+
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), x0, r0, p0, jnp.dot(r0, z0))
+    )
+    return x
+
+
+def _solve_linear(cfg: DynamicFusionConfig, damped: jnp.ndarray, jtr: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    if cfg.solver_linear == "pcg":
+        return -_pcg_solve(
+            damped, jtr, n_nodes, cfg.solver_linear_iters, cfg.solver_linear_tol
+        )
+    return -jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(damped, lower=True), jtr
+    )
 
 
 # --------------------------------------------------------------------------
@@ -392,13 +501,18 @@ def solve(
     field: WarpField,
     inputs: WarpSolveInputs,
     point_to_plane: Optional[bool] = None,
+    system_fn=None,
 ) -> Tuple[WarpField, SolveStats]:
     """Estimate the warp field for the current frame.
 
     Equivalent pipeline role to WarpFieldOptimiser::optimiseWarpData
     (/root/reference/kfusion/src/warp_field_optimiser.cpp:7-17) with the
     solver schedule of kinfu.cpp:114-121 (cfg.solver_nonlinear_iters outer
-    LM steps)."""
+    LM steps).
+
+    ``system_fn(s, dqs) -> (jtj, jtr)`` overrides the normal-equation
+    assembly (the distributed shard_map+psum assembly in
+    parallel/distributed_gn.py plugs in here)."""
     if point_to_plane is None:
         point_to_plane = cfg.point_to_plane
     n_nodes = field.positions.shape[0]
@@ -423,10 +537,15 @@ def solve(
     jtr = jnp.zeros((dof,))
     need_relin = jnp.array(True)
 
+    if system_fn is None:
+        system_fn = lambda s_, dqs_: gn_system_dense(
+            cfg, s_, dqs_, n_nodes, point_to_plane
+        )
+
     for _ in range(cfg.solver_nonlinear_iters):
         jtj, jtr = jax.lax.cond(
             need_relin,
-            lambda dqs=dqs: gn_system_dense(cfg, s, dqs, n_nodes, point_to_plane),
+            lambda dqs=dqs: system_fn(s, dqs),
             lambda: (jtj, jtr),
         )
         # LM damping on the diagonal + unit diagonal for inactive/empty dofs
@@ -436,9 +555,7 @@ def solve(
             + jnp.diag(lm_lambda * diag)
             + jnp.diag(jnp.where(active_dof & (diag > 1e-12), 1e-8, 1.0))
         )
-        step = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(damped, lower=True), jtr
-        )
+        step = _solve_linear(cfg, damped, jtr, n_nodes)
         step = step.reshape(n_nodes, 6)
         step = jnp.where(
             field.active[:, None] & jnp.isfinite(step).all(-1, keepdims=True),

@@ -15,7 +15,6 @@ CFG = dataclasses.replace(
     max_nodes=256,
     node_sample_step=7,
     solver_nonlinear_iters=2,
-    solver_linear_iters=0,  # unused (direct solve)
     solver_tukey_c=0.05,
     solver_arap_weight=1.0,
     node_coverage=0.06,

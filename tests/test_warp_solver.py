@@ -44,6 +44,10 @@ ORACLE_CFG = DynamicFusionConfig(
     solver_arap_weight=1e-4,
     point_to_plane=False,
     knn_method="exact",
+    # direct solve: the PCG path has dedicated coverage (TestLinearSolvers,
+    # test_distributed_gn); its while_loop compiles slowly on the CPU test
+    # backend, so the oracle scenarios use the equivalent direct solve
+    solver_linear="direct",
 )
 
 
@@ -189,3 +193,49 @@ def test_nan_points_ignored():
         warpfield.warp_points(new_field, jnp.asarray([[0.0, 0.0, 0.0]]))
     )
     np.testing.assert_allclose(warped, [[0.05, 0.05, 0.05]], atol=1e-3)
+
+
+class TestLinearSolvers:
+    def test_pcg_matches_cholesky_on_spd(self):
+        """Block-Jacobi PCG must solve the damped normal equations to the
+        same solution as the direct path."""
+        rng = np.random.default_rng(3)
+        n_nodes = 6
+        dof = 6 * n_nodes
+        m = rng.normal(size=(dof, dof)).astype(np.float32) * 0.1
+        a = jnp.asarray(m @ m.T + 2.0 * np.eye(dof, dtype=np.float32))
+        b = jnp.asarray(rng.normal(size=(dof,)).astype(np.float32))
+        x_pcg = warp_solver._pcg_solve(a, b, n_nodes, iters=200, rtol=1e-6)
+        import jax.scipy.linalg as jsl
+
+        x_direct = jsl.cho_solve(jsl.cho_factor(a, lower=True), b)
+        np.testing.assert_allclose(
+            np.asarray(x_pcg), np.asarray(x_direct), rtol=1e-3, atol=1e-4
+        )
+
+    def test_pcg_iteration_cap_respected(self):
+        """With a 1-iteration cap PCG must still return something finite
+        (an inexact LM step, not a crash)."""
+        rng = np.random.default_rng(4)
+        dof = 12
+        m = rng.normal(size=(dof, dof)).astype(np.float32)
+        a = jnp.asarray(m @ m.T + 5.0 * np.eye(dof, dtype=np.float32))
+        b = jnp.asarray(rng.normal(size=(dof,)).astype(np.float32))
+        x = warp_solver._pcg_solve(a, b, 2, iters=1, rtol=0.0)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_solve_direct_matches_pcg_field(self):
+        """End-to-end: the LM solve with direct vs PCG linear solver lands
+        on the same warp field (rigid-shift scenario)."""
+        import dataclasses
+
+        field = _cube_field()
+        can = CUBE * 0.5
+        live = can + 0.05
+        cfg_d = dataclasses.replace(ORACLE_CFG, solver_linear="direct")
+        cfg_p = dataclasses.replace(ORACLE_CFG, solver_linear="pcg")
+        fd, _ = _solve(_cube_field(), can, live, cfg=cfg_d)
+        fp, _ = _solve(_cube_field(), can, live, cfg=cfg_p)
+        np.testing.assert_allclose(
+            np.asarray(fd.dq), np.asarray(fp.dq), atol=1e-3
+        )
