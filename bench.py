@@ -3,7 +3,7 @@
 Runs the complete per-frame pipeline (preprocess -> rigid ICP -> canonical
 raycast -> non-rigid GN warp solve -> DQB-warped TSDF fusion -> node
 insertion -> model raycast) at the reference workload shape (640x480 depth,
-256^3 voxels over 1 m^3, up to 1024 warp nodes, LM 5 x direct-solve) on a
+256^3 voxels over 1 m^3, up to 1024 warp nodes, LM3 x direct Cholesky) on a
 synthetic deforming scene, and prints ONE JSON line.
 
 Baseline: the reference (mihaibujanca/dynamicfusion) publishes no numbers;
@@ -139,11 +139,26 @@ def main():
     ap.add_argument("--quality", action="store_true",
                     help="report reconstruction error vs analytic ground truth "
                          "(deforming-sphere sequence; BASELINE config 3 parity check)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any DynamicFusionConfig field (repeatable); "
+                         "values parsed as Python literals")
     args = ap.parse_args()
 
     cfg = build_cfg(args)
     if args.rigid:
         cfg = dataclasses.replace(cfg, rigid_only=True)
+    if args.set:
+        import ast
+
+        over = {}
+        for kv in args.set:
+            k, v = kv.split("=", 1)
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass  # keep as string (e.g. solver_linear=direct)
+            over[k] = v
+        cfg = dataclasses.replace(cfg, **over)
     if args.quality:
         run_quality(cfg, args)
         return

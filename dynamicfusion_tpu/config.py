@@ -65,6 +65,10 @@ class DynamicFusionConfig:
     icp_dist_thres: float = 0.1                          # meters
     icp_angle_thres: float = math.radians(30.0)          # radians
     icp_iters: Tuple[int, ...] = (10, 5, 4, 0)           # fine -> coarse
+    # early exit: a level stops iterating once the GN twist-step norm falls
+    # below this (the schedule above is the cap; warm-started frames
+    # typically converge in a fraction of it). 0 disables.
+    icp_step_tol: float = 1e-5
 
     # TSDF integration
     tsdf_trunc_dist: float = 0.04    # meters
@@ -99,6 +103,17 @@ class DynamicFusionConfig:
     # weakly-conditioned scenes (silhouette-ring constraints lost). Enable
     # for feature-rich scenes where raycast cost matters.
     raycast_seed_margin: float = 0.0
+    # Coarse-to-fine march for the tracking/model raycast: a full march at
+    # 1/factor resolution bounds each fine ray's march to the coarse 3x3
+    # window's [min, max] hit band (ops/tsdf.raycast_coarse_band). 1
+    # disables (full march). Unlike live-depth seeding this derives the
+    # band from the MODEL surface itself, so silhouette rays keep their
+    # constraints; the cost is losing structures thinner than ~2*factor
+    # coarse pixels.
+    raycast_coarse_factor: int = 4
+    # band widening, meters: must cover surface variation inside a coarse
+    # window plus a couple of march steps of free-space approach
+    raycast_band_margin: float = 0.06
     # True = the reference's six-sample central-difference normals
     # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
     # in-cell gradient of the trilinear interpolant (8 gathers, shared with
@@ -116,6 +131,11 @@ class DynamicFusionConfig:
     node_sample_step: int = 50     # sample every Nth surface vertex as a node
     node_radius: float = 3.0       # dg_w, meters (reference FIXME value)
     node_coverage: float = 0.025   # meters; insertion radius for new nodes
+    # Insertion-candidate subsampling: the coverage test (1-NN over the
+    # whole model map) doesn't need every pixel — a stride-s subset still
+    # offers ~P/s candidates for <= max_nodes slots per frame; applied only
+    # at full scale (P > 8192), like solver_hessian_stride.
+    node_insert_stride: int = 4
 
     # Non-rigid Gauss-Newton / LM solver (replaces Ceres + Opt/Terra; the
     # reference's schedule is nonLinearIter=5, linearIter=100 PCG, LM
@@ -142,8 +162,12 @@ class DynamicFusionConfig:
     # Linear solver inside each LM step: "pcg" = block-Jacobi-preconditioned
     # conjugate gradients (the reference Opt solver's GN+PCG structure,
     # kinfu.cpp:116-117; distributes via psum over node shards),
-    # "direct" = dense Cholesky of the (6N, 6N) system.
-    solver_linear: str = "pcg"
+    # "direct" = dense Cholesky of the (6N, 6N) system. Measured on v5e at
+    # N=1024: Cholesky 9.2 ms vs pcg32 21.3 ms (32 sequential matvecs lose
+    # to one well-tiled factorization at this size), identical
+    # reconstruction quality — direct is the single-chip default; pcg is
+    # the scaling path (its matvec shards, Cholesky doesn't).
+    solver_linear: str = "direct"
     solver_linear_tol: float = 1e-3     # PCG relative-residual stop
     solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
     solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
@@ -166,8 +190,12 @@ class DynamicFusionConfig:
     track_against_warped: bool = True
 
     # KNN field for voxel-space DQB: computed on a coarse grid of
-    # volume_dims // knn_field_stride cells and gathered at full resolution.
-    knn_field_stride: int = 4
+    # volume_dims // knn_field_stride cells and prolonged to full
+    # resolution. 8 (3.1 cm cells at 256^3/1m^3) measured
+    # quality-neutral vs 4 on the deforming-sphere bench (1.97 vs 1.90 mm
+    # median) for ~8x fewer coarse KNN+DQB points in the fusion phase —
+    # the warp field is Gaussian-smooth at node_coverage (2.5 cm) scale.
+    knn_field_stride: int = 8
 
     # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)

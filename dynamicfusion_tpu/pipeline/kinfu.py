@@ -79,6 +79,14 @@ def _pyramid_from_maps(cfg: DynamicFusionConfig, pts0, nrm0):
     return tuple(pts), tuple(nrm)
 
 
+def _use_coarse_band(cfg: DynamicFusionConfig, rows_t: int, cols_t: int) -> bool:
+    """Coarse-to-fine raycast only pays off (and only samples densely
+    enough) when the coarse grid is still a real image — tiny test frames
+    would march ~15x20 rays and miss geometry between them."""
+    f = cfg.raycast_coarse_factor
+    return f > 1 and (rows_t // f) * (cols_t // f) >= 2048
+
+
 def _raycast_seed(cfg: DynamicFusionConfig, dists: jnp.ndarray):
     """Expected surface distance per tracking ray, from the live dists map
     (holes filled with a local positive minimum so rays next to missing
@@ -110,14 +118,24 @@ def _model_maps(
     kinfu.cpp:297)."""
     shift = cfg.raycast_shift
     cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
+    rows_t = cfg.rows // cfg.raycast_subsample
+    cols_t = cfg.cols // cfg.raycast_subsample
+    band = (
+        tsdf_ops.raycast_coarse_band(
+            cfg, vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+        )
+        if _use_coarse_band(cfg, rows_t, cols_t)
+        else None
+    )
     res = tsdf_ops.raycast(
         cfg,
         vol,
         cam2vol,
         cfg.intr.level(shift),
-        cfg.rows // cfg.raycast_subsample,
-        cfg.cols // cfg.raycast_subsample,
+        rows_t,
+        cols_t,
         t_seed=t_seed,
+        t_band=band,
     )
     if cfg.track_against_warped and not cfg.rigid_only:
         shape = res.points.shape
@@ -245,14 +263,24 @@ def step(
         can_nrm_w = se3.rotate_dirs(state.pose, state.can_normals)
     else:
         cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
+        rows_t = cfg.rows // cfg.raycast_subsample
+        cols_t = cfg.cols // cfg.raycast_subsample
+        band = (
+            tsdf_ops.raycast_coarse_band(
+                cfg, state.vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+            )
+            if _use_coarse_band(cfg, rows_t, cols_t)
+            else None
+        )
         model = tsdf_ops.raycast(
             cfg,
             state.vol,
             cam2vol,
             cfg.intr.level(shift),
-            cfg.rows // cfg.raycast_subsample,
-            cfg.cols // cfg.raycast_subsample,
+            rows_t,
+            cols_t,
             t_seed=_raycast_seed(cfg, dists),
+            t_band=band,
         )
         can_pts_w = se3.transform_points(pose, model.points)
         can_nrm_w = se3.rotate_dirs(pose, model.normals)
@@ -278,8 +306,9 @@ def step(
     )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
+    ins = cfg.node_insert_stride if inputs.p_can.shape[0] > 8192 else 1
     warp = warpfield.insert_nodes(
-        cfg, warp, inputs.p_can, ~jnp.isnan(sub(can_pts_w)[:, 0])
+        cfg, warp, inputs.p_can[::ins], ~jnp.isnan(sub(can_pts_w)[::ins, 0])
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----

@@ -121,16 +121,13 @@ def estimate_transform(
             # coarsest level is 80x60)
             continue
         intr_l = cfg.intr.level(level + level_offset)
-        for _ in range(iters):
+        cp, cn = curr_pts_pyr[level], curr_nrm_pyr[level]
+        pp, pn = prev_pts_pyr[level], prev_nrm_pyr[level]
+
+        def body(st, cp=cp, cn=cn, pp=pp, pn=pn, intr_l=intr_l):
+            i, t, ok, _ = st
             a, b = _build_system(
-                intr_l,
-                t,
-                curr_pts_pyr[level],
-                curr_nrm_pyr[level],
-                prev_pts_pyr[level],
-                prev_nrm_pyr[level],
-                dist2_thres,
-                min_cos,
+                intr_l, t, cp, cn, pp, pn, dist2_thres, min_cos
             )
             det = jnp.linalg.det(a)
             good = jnp.isfinite(det) & (jnp.abs(det) > 1e-15)
@@ -140,5 +137,21 @@ def estimate_transform(
             x = jnp.where(good & jnp.isfinite(x).all(), x, jnp.zeros_like(x))
             t_inc = se3.exp_twist(x)
             t = jnp.where(good, se3.compose(t_inc, t), t)
-            ok = ok & good
+            # degenerate iterations (good=False) keep retrying up to the
+            # cap, exactly like the static unroll did — only a small
+            # CONVERGED step ends the level early
+            step_norm = jnp.where(good, jnp.linalg.norm(x), jnp.inf)
+            return (i + 1, t, ok & good, step_norm)
+
+        # the schedule (cfg.icp_iters, the reference's {10,5,4,0}) is the
+        # per-level CAP; converged levels exit early on the GN step norm —
+        # warm-started frames (small inter-frame motion) typically use a
+        # fraction of the cap at identical pose accuracy
+        def cond(st, iters=iters):
+            i, _, _, step_norm = st
+            return (i < iters) & (step_norm > cfg.icp_step_tol)
+
+        _, t, ok, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), t, ok, jnp.asarray(jnp.inf))
+        )
     return IcpResult(transform=t, ok=ok)

@@ -402,21 +402,52 @@ def edge_system(
     n_nodes: int,
 ):
     """ARAP edge contribution to the normal equations (small: E = N*k_edge
-    rows; replicated in the distributed solve)."""
+    edges; replicated in the distributed solve), assembled BLOCKWISE.
+
+    Each edge (i, j) contributes exactly four 6x6 blocks to JtJ:
+    (i,i) += Ji^T Ji, (i,j) += Ji^T Jj, (j,i) += its transpose,
+    (j,j) += Jj^T Jj. The earlier expanded-row formulation syrk'd a
+    (3E, 6N) matrix (~9 ms at bench shape — nearly as much as the data
+    term's 19200-row syrk, for only 4096 edges); the per-edge blocks are
+    ~3e8 FLOPs of small batched matmuls instead, placed via build_edges'
+    static source structure (e_src = repeat(arange(N), k_edge))."""
     dof = 6 * n_nodes
     re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
-    oh_i = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)  # (E, N)
-    oh_j = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.bfloat16)
-    ae = (
-        jnp.einsum("en,erd->ernd", oh_i, je_i.astype(jnp.bfloat16))
-        + jnp.einsum("en,erd->ernd", oh_j, je_j.astype(jnp.bfloat16))
-    ).reshape(-1, dof)
-    jtj = jnp.dot(ae.T, ae, preferred_element_type=jnp.float32)
+    e = s.e_src.shape[0]
+    c = e // n_nodes  # k_edge: e_src = repeat(arange(N), c) by construction
 
-    # edge gradient in f32: (E*3,) residuals against f32 one-hot rows
+    h_ii = jnp.einsum("era,erb->eab", je_i, je_i)  # (E, 6, 6)
+    h_jj = jnp.einsum("era,erb->eab", je_j, je_j)
+    h_ij = jnp.einsum("era,erb->eab", je_i, je_j)
+
+    # diagonal blocks: ii lands on the (static) source rows; jj scatters to
+    # dst via a one-hot matmul (302 MFLOP at bench shape)
+    diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1)
+    oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)  # (E, N)
+    diag = diag + jnp.einsum(
+        "en,eab->nab", oh_d, h_jj, preferred_element_type=jnp.float32
+    )
+
+    # off-diagonal (i, j) blocks: batched per source row over its c edges
+    oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
+    off = jnp.einsum(
+        "ncm,ncab->nmab", oh_dr, h_ij.reshape(n_nodes, c, 6, 6),
+        preferred_element_type=jnp.float32,
+    )  # (N, M, 6, 6): block (i, j)
+
+    full = off.transpose(0, 2, 1, 3) + off.transpose(1, 3, 0, 2)  # + (j,i)^T
+    ar = jnp.arange(n_nodes)
+    full = full.at[ar, :, ar, :].add(diag)
+    jtj = full.reshape(dof, dof)
+
+    # edge gradient in f32: source side static-structured, dst via one-hot
+    g_i = jnp.einsum("erd,er->ed", je_i, re)  # (E, 6)
+    g_j = jnp.einsum("erd,er->ed", je_j, re)
     jtr = (
-        jnp.einsum("en,erd,er->nd", oh_i.astype(jnp.float32), je_i, re)
-        + jnp.einsum("en,erd,er->nd", oh_j.astype(jnp.float32), je_j, re)
+        g_i.reshape(n_nodes, c, 6).sum(axis=1)
+        + jnp.einsum(
+            "en,ed->nd", oh_d, g_j, precision=jax.lax.Precision.HIGHEST
+        )
     ).reshape(-1)
     return jtj, jtr
 

@@ -195,6 +195,36 @@ def test_nan_points_ignored():
     np.testing.assert_allclose(warped, [[0.05, 0.05, 0.05]], atol=1e-3)
 
 
+def test_edge_system_blockwise_matches_dense_rows():
+    """The blockwise ARAP assembly must equal the expanded-row normal
+    equations (oh_i (x) je_i + oh_j (x) je_j rows, A^T A in f32)."""
+    field = _cube_field()
+    can = CUBE * 0.5
+    live = can + np.asarray([0.02, -0.01, 0.03], np.float32)
+    inputs = warp_solver.WarpSolveInputs(
+        p_can=jnp.asarray(can), n_can=jnp.zeros_like(can),
+        p_live=jnp.asarray(live), n_live=jnp.zeros_like(can),
+    )
+    s = warp_solver.prepare(ORACLE_CFG, field, inputs, False)
+    n_nodes = field.positions.shape[0]
+    dqs = field.dq
+
+    jtj, jtr = warp_solver.edge_system(ORACLE_CFG, s, dqs, n_nodes)
+
+    re, je_i, je_j = warp_solver.edge_residual_and_jac(ORACLE_CFG, s, dqs)
+    oh_i = np.eye(n_nodes, dtype=np.float32)[np.asarray(s.e_src)]
+    oh_j = np.eye(n_nodes, dtype=np.float32)[np.asarray(s.e_dst)]
+    ae = (
+        np.einsum("en,erd->ernd", oh_i, np.asarray(je_i))
+        + np.einsum("en,erd->ernd", oh_j, np.asarray(je_j))
+    ).reshape(-1, 6 * n_nodes)
+    jtj_ref = ae.T @ ae
+    jtr_ref = ae.T @ np.asarray(re).reshape(-1)
+
+    np.testing.assert_allclose(np.asarray(jtj), jtj_ref, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jtr), jtr_ref, rtol=1e-4, atol=1e-6)
+
+
 class TestLinearSolvers:
     def test_pcg_matches_cholesky_on_spd(self):
         """Block-Jacobi PCG must solve the damped normal equations to the
