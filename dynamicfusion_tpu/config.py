@@ -155,10 +155,10 @@ class DynamicFusionConfig:
     solver_point_stride: int = 2        # pixel subsampling for solver data term
     # Extra stride applied ONCE in prepare() to the whole solve data term
     # (cost, gradient, Hessian — one consistent objective): with P >> 6N the
-    # surface is heavily oversampled; stride 4 leaves ~19k residuals for
-    # 6k dof at the bench shape and quarters the dominant A^T A assembly.
-    # Applied only when P > 8192 (full-scale inputs); 1 = exact.
-    solver_hessian_stride: int = 4
+    # surface is heavily oversampled; stride 6 leaves ~12.8k residuals for
+    # 6k dof at the bench shape (measured quality-neutral vs 4, ~8 ms/frame
+    # less A^T A assembly). Applied only when P > 8192; 1 = exact.
+    solver_hessian_stride: int = 6
     # Linear solver inside each LM step: "pcg" = block-Jacobi-preconditioned
     # conjugate gradients (the reference Opt solver's GN+PCG structure,
     # kinfu.cpp:116-117; distributes via psum over node shards),

@@ -242,8 +242,10 @@ def live_node_positions(field: WarpField) -> jnp.ndarray:
     return field.positions + dualquat.translation(field.dq)
 
 
-def warp_dq_at(field: WarpField, points: jnp.ndarray, k: int = 8) -> jnp.ndarray:
+def warp_dq_at(
+    field: WarpField, points: jnp.ndarray, k: int = 8, method: str = "exact"
+) -> jnp.ndarray:
     """The blended dual quaternion of the field evaluated at given points."""
-    d2, idx = knn(field, points, k)
+    d2, idx = knn(field, points, k, method=method)
     w = weights_from_dist2(field, d2, idx)
     return dualquat.blend(w, jnp.take(field.dq, idx, axis=0))

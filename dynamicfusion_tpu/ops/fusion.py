@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.core import dualquat
 from dynamicfusion_tpu.models import volume as volume_model
 from dynamicfusion_tpu.models import warpfield
 from dynamicfusion_tpu.models.volume import TsdfVolume
@@ -50,9 +51,9 @@ def _prolong_matrix(d: int, stride: int) -> jnp.ndarray:
     return w
 
 
-def warp_coarse_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
-    """Exact DQB warp of the coarse (D/stride + 1)^3 voxel corner grid;
-    returns warped world positions (Dc, Dc, Dc, 3)."""
+def _coarse_corner_points(cfg: DynamicFusionConfig) -> jnp.ndarray:
+    """World positions of the (D/stride + 1)^3 coarse voxel corners,
+    flattened (Dc^3, 3)."""
     d = cfg.volume_dims
     s = cfg.knn_field_stride
     vs = cfg.voxel_size
@@ -63,7 +64,7 @@ def warp_coarse_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
     cx = ax[:, None, None] + org[0]
     cy = ax[None, :, None] + org[1]
     cz = ax[None, None, :] + org[2]
-    coarse = jnp.stack(
+    return jnp.stack(
         [
             jnp.broadcast_to(cx, (dc, dc, dc)),
             jnp.broadcast_to(cy, (dc, dc, dc)),
@@ -72,13 +73,92 @@ def warp_coarse_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
         axis=-1,
     ).reshape(-1, 3)
 
+
+def coarse_dq_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
+    """Blended field dual quaternion at each coarse voxel corner
+    (Dc, Dc, Dc, 8): ONE exact KNN+DQB evaluation per frame, shared by the
+    non-rigid fusion (voxel warp) and the model-map warp
+    (warp_points_trilinear) — the warp field is Gaussian-smooth at
+    node_coverage scale, so trilinear prolongation of the blended DQ is
+    within the same tolerance as the fusion grid itself."""
+    d = cfg.volume_dims
+    s = cfg.knn_field_stride
+    dc = d // s + 1
+    coarse = _coarse_corner_points(cfg)
+    return warpfield.warp_dq_at(
+        field, coarse, k=cfg.knn_k, method=cfg.knn_method
+    ).reshape(dc, dc, dc, 8)
+
+
+def warp_points_trilinear(
+    cfg: DynamicFusionConfig,
+    dq_grid: jnp.ndarray,
+    points: jnp.ndarray,
+    normals: jnp.ndarray | None = None,
+):
+    """DQB-warp world-space points by trilinear blending of the coarse
+    node-DQ grid (8 row gathers + a DQB-style normalized blend per point)
+    instead of a per-point KNN over the node set. NaN inputs pass through."""
+    dc = dq_grid.shape[0]
+    cell = cfg.knn_field_stride * cfg.voxel_size
+    org = volume_model.origin(cfg)
+
+    g = (jnp.nan_to_num(points) - org) / cell
+    gi = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, dc - 2)
+    f = jnp.clip(g - gi, 0.0, 1.0)
+
+    base = (gi[..., 0] * dc + gi[..., 1]) * dc + gi[..., 2]
+    flat = dq_grid.reshape(-1, 8)
+    corners = []
+    weights = []
+    a, b, c = f[..., 0], f[..., 1], f[..., 2]
+    for dx in (0, 1):
+        wx = a if dx else 1.0 - a
+        for dy in (0, 1):
+            wy = b if dy else 1.0 - b
+            for dz in (0, 1):
+                wz = c if dz else 1.0 - c
+                corners.append(jnp.take(flat, base + (dx * dc + dy) * dc + dz, axis=0))
+                weights.append(wx * wy * wz)
+    dqs = jnp.stack(corners, axis=-2)      # (P, 8, 8)
+    w = jnp.stack(weights, axis=-1)        # (P, 8)
+    blended = dualquat.blend(w, dqs)
+
+    nan_mask = jnp.isnan(points[..., 0])
+    warped = dualquat.transform(blended, jnp.nan_to_num(points))
+    warped = jnp.where(nan_mask[..., None], jnp.nan, warped)
+    if normals is None:
+        return warped
+    wn = dualquat.rotate(blended, jnp.nan_to_num(normals))
+    wn = jnp.where(jnp.isnan(normals[..., 0])[..., None], jnp.nan, wn)
+    return warped, wn
+
+
+def warp_coarse_grid(
+    cfg: DynamicFusionConfig,
+    field: WarpField,
+    dq_grid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Exact DQB warp of the coarse (D/stride + 1)^3 voxel corner grid;
+    returns warped world positions (Dc, Dc, Dc, 3). Reuses a precomputed
+    coarse_dq_grid when given."""
+    d = cfg.volume_dims
+    s = cfg.knn_field_stride
+    dc = d // s + 1
+    coarse = _coarse_corner_points(cfg)
+    if dq_grid is not None:
+        return dualquat.transform(dq_grid.reshape(-1, 8), coarse).reshape(
+            dc, dc, dc, 3
+        )
     return warpfield.warp_points(
         field, coarse, k=cfg.knn_k, method=cfg.knn_method
     ).reshape(dc, dc, dc, 3)
 
 
 def warp_voxel_field(
-    cfg: DynamicFusionConfig, field: WarpField
+    cfg: DynamicFusionConfig,
+    field: WarpField,
+    dq_grid: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Warped world-space positions of every voxel center, as three
     (D, D, D) arrays (x, y, z channels kept separate to avoid a
@@ -87,7 +167,7 @@ def warp_voxel_field(
     Exact DQB on the coarse corner grid + matmul prolongation."""
     d = cfg.volume_dims
     s = cfg.knn_field_stride
-    warped = warp_coarse_grid(cfg, field)
+    warped = warp_coarse_grid(cfg, field, dq_grid)
 
     w = _prolong_matrix(d, s)  # (D, Dc)
     # separable prolongation: contract each spatial axis with w.
@@ -108,6 +188,7 @@ def integrate_nonrigid(
     world2cam: jnp.ndarray,
     intr: Intrinsics,
     with_counts: bool = False,
+    dq_grid: jnp.ndarray | None = None,
 ):
     """Fuse one live depth frame into the canonical volume through the
     warp field (paper §3.3; the completed form of surface_fusion +
@@ -128,7 +209,7 @@ def integrate_nonrigid(
     if cfg.integrate_mode == "brick":
         from dynamicfusion_tpu.ops import bricks
 
-        warped = warp_coarse_grid(cfg, field)  # (Dc, Dc, Dc, 3) world
+        warped = warp_coarse_grid(cfg, field, dq_grid)  # (Dc, Dc, Dc, 3) world
         r = world2cam[:3, :3]
         t = world2cam[:3, 3]
         cam_grid = (
@@ -139,7 +220,7 @@ def integrate_nonrigid(
             with_counts=with_counts,
         )
 
-    wx, wy, wz = warp_voxel_field(cfg, field)
+    wx, wy, wz = warp_voxel_field(cfg, field, dq_grid)
 
     r = world2cam[:3, :3]
     t = world2cam[:3, 3]

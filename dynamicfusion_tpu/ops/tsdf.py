@@ -380,7 +380,12 @@ def raycast(
     st = jax.lax.while_loop(cond, body, state)
     found, t_hit, dt_hit = st["found"], st["t_hit"], st["dt_hit"]
 
-    # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt
+    # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt.
+    # NOTE: a cheaper variant (reusing the march's nearest-neighbor bracket
+    # values + extra Newton steps) was tried and REJECTED: at grazing
+    # incidence the ray-direction TSDF derivative vanishes, so Newton can't
+    # recover the coarse start — plane vertices bias along rays and rigid
+    # tracking drifts (tests/test_rigid_mode.py catches it).
     p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
     p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
     ft = interpolate(tsdf, p_curr)

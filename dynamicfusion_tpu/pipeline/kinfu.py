@@ -109,6 +109,7 @@ def _model_maps(
     warp: WarpField,
     pose: jnp.ndarray,
     t_seed: jnp.ndarray | None = None,
+    dq_grid: jnp.ndarray | None = None,
 ):
     """Raycast the canonical model at `pose` (at 1/cfg.raycast_subsample
     resolution, seeded by the live dists when given); return (tracking
@@ -141,9 +142,15 @@ def _model_maps(
         shape = res.points.shape
         pts_w = se3.transform_points(pose, res.points).reshape(-1, 3)
         nrm_w = se3.rotate_dirs(pose, res.normals).reshape(-1, 3)
-        wp, wn = warpfield.warp_points(
-            warp, pts_w, nrm_w, k=cfg.knn_k, method=cfg.knn_method
-        )
+        if dq_grid is not None:
+            # trilinear blend of the frame's shared coarse node-DQ grid
+            # (fusion.coarse_dq_grid) — 8 row gathers/point instead of a
+            # KNN over the node set
+            wp, wn = fusion.warp_points_trilinear(cfg, dq_grid, pts_w, nrm_w)
+        else:
+            wp, wn = warpfield.warp_points(
+                warp, pts_w, nrm_w, k=cfg.knn_k, method=cfg.knn_method
+            )
         w2c = se3.inverse(pose)
         track_pts = se3.transform_points(w2c, wp).reshape(shape)
         track_nrm = se3.rotate_dirs(w2c, wn).reshape(shape)
@@ -299,21 +306,27 @@ def step(
     # ---- 4. non-rigid warp-field solve ----
     warp, stats = warp_solver.solve(cfg, state.warp, inputs)
 
+    # the frame's ONE exact KNN+DQB evaluation of the solved field, shared
+    # by fusion (voxel warp) and the model-map warp (insertion-seeded nodes
+    # below barely perturb the blended field — their dq is seeded FROM it)
+    full_scale = inputs.p_can.shape[0] > 8192
+    dq_grid = fusion.coarse_dq_grid(cfg, warp) if full_scale else None
+
     # ---- 5. non-rigid fusion into the canonical volume ----
     vol, bcounts = fusion.integrate_nonrigid(
         cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
-        with_counts=True,
+        with_counts=True, dq_grid=dq_grid,
     )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
-    ins = cfg.node_insert_stride if inputs.p_can.shape[0] > 8192 else 1
+    ins = cfg.node_insert_stride if full_scale else 1
     warp = warpfield.insert_nodes(
         cfg, warp, inputs.p_can[::ins], ~jnp.isnan(sub(can_pts_w)[::ins, 0])
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----
     (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
-        cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists)
+        cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists), dq_grid=dq_grid
     )
 
     new_state = PipelineState(

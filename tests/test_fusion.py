@@ -97,3 +97,59 @@ def test_fusion_accumulates_weight():
     for _ in range(2):
         vol = fusion.integrate_nonrigid(CFG, vol, field, dists, se3.inverse(_w2c()), CFG.intr)
     assert float(vol.weight.max()) == 2.0
+
+
+def _displaced_field(shift=(0.02, -0.01, 0.015)):
+    g = np.linspace(-0.4, 0.4, 4)
+    pts = np.stack(np.meshgrid(g, g, g + 1.0, indexing="ij"), -1).reshape(-1, 3)
+    field = warpfield.init_from_cloud(
+        CFG, jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool)
+    )
+    n = field.positions.shape[0]
+    dq = dualquat.from_rot_trans(
+        jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4)),
+        jnp.broadcast_to(jnp.asarray(shift, jnp.float32), (n, 3)),
+    )
+    return field._replace(dq=jnp.where(field.active[:, None], dq, field.dq))
+
+
+class TestSharedDqGrid:
+    def test_warp_coarse_grid_matches_with_and_without(self):
+        """warp_coarse_grid from a precomputed coarse_dq_grid must equal the
+        direct KNN+DQB path (identical math, shared evaluation)."""
+        field = _displaced_field()
+        grid = fusion.coarse_dq_grid(CFG, field)
+        w_direct = fusion.warp_coarse_grid(CFG, field)
+        w_shared = fusion.warp_coarse_grid(CFG, field, grid)
+        np.testing.assert_allclose(
+            np.asarray(w_shared), np.asarray(w_direct), atol=1e-5
+        )
+
+    def test_trilinear_warp_matches_exact_on_smooth_field(self):
+        """warp_points_trilinear must match the exact per-point KNN+DQB warp
+        to within the coarse-cell interpolation tolerance on a smooth
+        (uniform-shift) field — where it is exact up to normalization."""
+        field = _displaced_field()
+        grid = fusion.coarse_dq_grid(CFG, field)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.3, 0.3, (500, 3)).astype(np.float32)
+        pts[:, 2] += 1.0
+        nrm = rng.normal(size=(500, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+        w_tri, n_tri = fusion.warp_points_trilinear(
+            CFG, grid, jnp.asarray(pts), jnp.asarray(nrm)
+        )
+        w_ex, n_ex = warpfield.warp_points(
+            field, jnp.asarray(pts), jnp.asarray(nrm), k=CFG.knn_k, method="exact"
+        )
+        np.testing.assert_allclose(np.asarray(w_tri), np.asarray(w_ex), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(n_tri), np.asarray(n_ex), atol=1e-4)
+
+    def test_trilinear_warp_nan_passthrough(self):
+        field = _displaced_field()
+        grid = fusion.coarse_dq_grid(CFG, field)
+        pts = jnp.asarray([[np.nan, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32)
+        w = fusion.warp_points_trilinear(CFG, grid, pts)
+        assert np.isnan(np.asarray(w)[0]).all()
+        assert np.isfinite(np.asarray(w)[1]).all()
