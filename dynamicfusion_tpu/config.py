@@ -197,6 +197,15 @@ class DynamicFusionConfig:
     # the warp field is Gaussian-smooth at node_coverage (2.5 cm) scale.
     knn_field_stride: int = 8
 
+    # Non-rigid fusion observation weight = DQB blend quality (the paper's
+    # w(x), eq. in §3.3; the reference defined-but-broke this, SURVEY
+    # §2.9.5). False restores unit weights (rigid-integrate behavior).
+    fusion_quality_weight: bool = True
+    # voxels whose mean Gaussian blend weight is below this are NOT fused:
+    # their DQB blend is a normalized near-zero sum (garbage transform) and
+    # fusing through it smears the canonical model.
+    fusion_quality_min: float = 0.01
+
     # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 

@@ -311,16 +311,18 @@ def _corner_indices(d: int, b: int, g: int, brick_ids: jnp.ndarray) -> jnp.ndarr
 
 
 def _voxel_positions(
-    cam_flat: jnp.ndarray,  # (G^3, 3)
+    cam_flat: jnp.ndarray,  # (G^3, CH) — 3 position channels (+ optional extras)
     corner_idx: jnp.ndarray,  # (K, C^3)
     b: int,
     g: int,
 ) -> jnp.ndarray:
-    """Per-voxel camera positions of K bricks by trilinear prolongation of
-    their grid-point positions: (K, B^3, 3)."""
+    """Per-voxel camera positions (and any extra channels, e.g. the blend
+    quality) of K bricks by trilinear prolongation of their grid-point
+    values: (K, B^3, CH)."""
     c = b // g + 1
     k = corner_idx.shape[0]
-    pts = jnp.take(cam_flat, jnp.maximum(corner_idx, 0), axis=0).reshape(k, c, c, c, 3)
+    ch = cam_flat.shape[-1]
+    pts = jnp.take(cam_flat, jnp.maximum(corner_idx, 0), axis=0).reshape(k, c, c, c, ch)
     w = _prolong_weights(b, g)  # (B, C)
     # HIGHEST: these einsums produce metric voxel positions; the TPU default
     # (bf16 passes) injects ~1e-2 relative error => ~1 cm position noise,
@@ -330,7 +332,7 @@ def _voxel_positions(
     f = jnp.einsum("ia,nabcd->nibcd", w, pts, precision=hi)
     f = jnp.einsum("jb,nibcd->nijcd", w, f, precision=hi)
     f = jnp.einsum("kc,nijcd->nijkd", w, f, precision=hi)
-    return f.reshape(k, b * b * b, 3)
+    return f.reshape(k, b * b * b, ch)
 
 
 def _fuse_rows(
@@ -340,16 +342,23 @@ def _fuse_rows(
     dp: jnp.ndarray,          # (K, BV) depth at each voxel's pixel
     rdist: jnp.ndarray,       # (K, BV) voxel ray distance |p|
     inb: jnp.ndarray,         # (K, BV) in-image & z>0
+    q: jnp.ndarray | None = None,  # (K, BV) observation weight (blend quality)
 ):
     trunc = volume_model.trunc_dist(cfg)
     psdf = dp - rdist
     update = inb & (dp != 0.0) & (psdf >= -trunc)
+    if q is None:
+        q = 1.0
+    else:
+        # voxels essentially unsupported by the warp field carry a garbage
+        # DQB blend — do not fuse through it (paper weight, fusion.py doc)
+        update = update & (q > cfg.fusion_quality_min)
     tsdf_obs = jnp.minimum(1.0, psdf / trunc)
     t32 = tsdf_rows.astype(jnp.float32)
-    fused = (t32 * w_rows + tsdf_obs) / (w_rows + 1.0)
+    fused = (t32 * w_rows + tsdf_obs * q) / (w_rows + q)
     new_t = jnp.where(update, fused, t32).astype(tsdf_rows.dtype)
     new_w = jnp.where(
-        update, jnp.minimum(w_rows + 1.0, float(cfg.tsdf_max_weight)), w_rows
+        update, jnp.minimum(w_rows + q, float(cfg.tsdf_max_weight)), w_rows
     )
     return new_t, new_w
 
@@ -433,6 +442,7 @@ def integrate_bricks(
     g: int,
     intr: Intrinsics,
     with_counts: bool = False,
+    q_grid: jnp.ndarray | None = None,
 ):
     """Brick-sparse projective TSDF fusion. ``cam_grid`` holds camera-frame
     positions of the voxel grid at stride ``g`` (g = brick_size for the rigid
@@ -441,7 +451,14 @@ def integrate_bricks(
     integrate_nonrigid up to brick caps (overflowing bricks keep their old
     values for one frame). With ``with_counts`` also returns a (2,) int32
     array of the runtime (band, wide) brick counts so callers can surface
-    cap overflow instead of silently dropping updates."""
+    cap overflow instead of silently dropping updates.
+
+    ``q_grid``: optional (G, G, G) per-grid-point observation weight (DQB
+    blend quality, fusion.coarse_field) prolonged to voxels alongside the
+    positions; band/wide voxels fuse with weight q and skip q below
+    cfg.fusion_quality_min. Front (free-space) bricks keep unit weight:
+    carving away stale geometry is exactly what low-quality regions need,
+    and free space has no meaningful blend quality."""
     d = cfg.volume_dims
     b = cfg.brick_size
     nbr = (d // b) ** 3
@@ -466,6 +483,8 @@ def integrate_bricks(
     tb = to_bricks(vol.tsdf, b)
     wb = to_bricks(vol.weight, b)
     cam_flat = cam_grid.reshape(-1, 3)
+    if q_grid is not None:
+        cam_flat = jnp.concatenate([cam_flat, q_grid.reshape(-1, 1)], axis=-1)
     dists_flat = dists.reshape(-1)
 
     # ---- front bricks: constant free-space observation ----
@@ -481,7 +500,8 @@ def integrate_bricks(
     if band_cap > 0:
         ids = jnp.minimum(band_ids, nbr - 1)
         corner_idx = _corner_indices(d, b, g, ids)
-        pts = _voxel_positions(cam_flat, corner_idx, b, g)  # (K, BV, 3)
+        ptsq = _voxel_positions(cam_flat, corner_idx, b, g)  # (K, BV, 3[+1])
+        pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
         ui, vi, inb, rdist = _project(pts, intr, rows, cols)
         u0 = jnp.take(bc.u0, ids)
         v0 = jnp.take(bc.v0, ids)
@@ -493,7 +513,7 @@ def integrate_bricks(
         dp = _rect_lookup(dists, u0, v0, ri, ci, rect)
         bt = jnp.take(tb, ids, axis=0)
         bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv)
         tb = tb.at[band_ids].set(new_bt, mode="drop")
         wb = wb.at[band_ids].set(new_bw, mode="drop")
 
@@ -501,14 +521,15 @@ def integrate_bricks(
     if wide_cap > 0:
         ids = jnp.minimum(wide_ids, nbr - 1)
         corner_idx = _corner_indices(d, b, g, ids)
-        pts = _voxel_positions(cam_flat, corner_idx, b, g)
+        ptsq = _voxel_positions(cam_flat, corner_idx, b, g)
+        pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
         ui, vi, inb, rdist = _project(pts, intr, rows, cols)
         flat = jax.lax.optimization_barrier(vi * cols + ui)
         dp = jnp.take(dists_flat, flat)
         dp = jax.lax.optimization_barrier(dp)
         bt = jnp.take(tb, ids, axis=0)
         bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb, qv)
         tb = tb.at[wide_ids].set(new_bt, mode="drop")
         wb = wb.at[wide_ids].set(new_bw, mode="drop")
 

@@ -74,20 +74,36 @@ def _coarse_corner_points(cfg: DynamicFusionConfig) -> jnp.ndarray:
     ).reshape(-1, 3)
 
 
-def coarse_dq_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
-    """Blended field dual quaternion at each coarse voxel corner
-    (Dc, Dc, Dc, 8): ONE exact KNN+DQB evaluation per frame, shared by the
-    non-rigid fusion (voxel warp) and the model-map warp
+def coarse_field(
+    cfg: DynamicFusionConfig, field: WarpField
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blended field dual quaternion AND blend quality at each coarse voxel
+    corner: ONE exact KNN+DQB evaluation per frame, shared by the non-rigid
+    fusion (voxel warp + observation weight) and the model-map warp
     (warp_points_trilinear) — the warp field is Gaussian-smooth at
-    node_coverage scale, so trilinear prolongation of the blended DQ is
-    within the same tolerance as the fusion grid itself."""
+    node_coverage scale, so trilinear prolongation is within the same
+    tolerance as the fusion grid itself.
+
+    Returns (dq_grid (Dc,Dc,Dc,8), q_grid (Dc,Dc,Dc)). Quality is the
+    paper's w(x) = (1/k) sum_i exp(-|x - dg_v_i|^2 / (2 dg_w_i^2))
+    (Newcombe et al. §3.3) — the reference's `weighting()` averaged raw
+    DISTANCES instead, an unbounded increment that grows with distance
+    from the nodes (tsdf_volume.cpp:300-306, SURVEY §2.9.5)."""
     d = cfg.volume_dims
     s = cfg.knn_field_stride
     dc = d // s + 1
     coarse = _coarse_corner_points(cfg)
-    return warpfield.warp_dq_at(
-        field, coarse, k=cfg.knn_k, method=cfg.knn_method
-    ).reshape(dc, dc, dc, 8)
+    d2, idx = warpfield.knn(field, coarse, cfg.knn_k, method=cfg.knn_method)
+    w = warpfield.weights_from_dist2(field, d2, idx)
+    dq = dualquat.blend(w, jnp.take(field.dq, idx, axis=0))
+    q = jnp.clip(jnp.mean(w, axis=-1), 0.0, 1.0)
+    return dq.reshape(dc, dc, dc, 8), q.reshape(dc, dc, dc)
+
+
+def coarse_dq_grid(cfg: DynamicFusionConfig, field: WarpField) -> jnp.ndarray:
+    """Blended field dual quaternion at each coarse voxel corner
+    (Dc, Dc, Dc, 8) — see coarse_field."""
+    return coarse_field(cfg, field)[0]
 
 
 def warp_points_trilinear(
@@ -189,6 +205,7 @@ def integrate_nonrigid(
     intr: Intrinsics,
     with_counts: bool = False,
     dq_grid: jnp.ndarray | None = None,
+    q_grid: jnp.ndarray | None = None,
 ):
     """Fuse one live depth frame into the canonical volume through the
     warp field (paper §3.3; the completed form of surface_fusion +
@@ -197,14 +214,23 @@ def integrate_nonrigid(
     Per voxel: x_w = W(x) (DQB-warped center, world frame);
     x_c = world2cam * x_w; psdf = dists(proj(x_c)) - |x_c|;
     where psdf >= -trunc: fold min(1, psdf/trunc) into the running
-    average. The observation weight is the mean Gaussian blending quality
-    of the voxel's neighborhood (bounded [0,1]; the reference's
-    `weighting()` averaged raw distances — an unbounded increment that
-    *grows* with distance from the nodes, inverted from the paper's
-    intent; see tsdf_volume.cpp:300-306)."""
+    average with the paper's observation weight w(x) = mean Gaussian
+    blending quality of the voxel's node neighborhood (bounded [0, 1];
+    voxels essentially unsupported by the warp field — q below
+    cfg.fusion_quality_min — are NOT updated: their DQB blend is a
+    normalized near-zero sum, i.e. garbage, and fusing through it smears
+    the canonical model. The reference's `weighting()` averaged raw
+    distances instead — an unbounded increment that *grows* with distance
+    from the nodes, inverted from the paper's intent;
+    tsdf_volume.cpp:300-306). cfg.fusion_quality_weight=False restores
+    unit observation weights (the rigid-integrate-equivalent behavior)."""
     d = cfg.volume_dims
     trunc = volume_model.trunc_dist(cfg)
     rows, cols = dists.shape
+
+    use_q = cfg.fusion_quality_weight
+    if use_q and (dq_grid is None or q_grid is None):
+        dq_grid, q_grid = coarse_field(cfg, field)
 
     if cfg.integrate_mode == "brick":
         from dynamicfusion_tpu.ops import bricks
@@ -217,7 +243,7 @@ def integrate_nonrigid(
         )
         return bricks.integrate_bricks(
             cfg, vol, dists, cam_grid, cfg.knn_field_stride, intr,
-            with_counts=with_counts,
+            with_counts=with_counts, q_grid=q_grid if use_q else None,
         )
 
     wx, wy, wz = warp_voxel_field(cfg, field, dq_grid)
@@ -242,16 +268,23 @@ def integrate_nonrigid(
     psdf = dp - jnp.sqrt(x * x + y * y + z * z)
     update = inb & (dp != 0.0) & (psdf >= -trunc)
 
-    # observation weight: mean blending quality on the coarse grid,
-    # prolonged like the positions (cheap: one more channel would do; here
-    # recomputed from the coarse KNN inside warp quality) — approximated as
-    # 1 for supported voxels. Support = warp displacement is finite.
+    if use_q:
+        # observation weight: blend quality prolonged from the coarse grid
+        # like the positions (one more separable-prolongation channel)
+        pm = _prolong_matrix(d, cfg.knn_field_stride)
+        q = jnp.einsum("ia,abc->ibc", pm, q_grid)
+        q = jnp.einsum("jb,ibc->ijc", pm, q)
+        q = jnp.einsum("kc,ijc->ijk", pm, q)
+        update = update & (q > cfg.fusion_quality_min)
+    else:
+        q = 1.0
+
     tsdf_obs = jnp.minimum(1.0, psdf / trunc)
     w = vol.weight
     tsdf_f32 = vol.tsdf.astype(jnp.float32)
-    fused = (tsdf_f32 * w + tsdf_obs) / (w + 1.0)
+    fused = (tsdf_f32 * w + tsdf_obs * q) / (w + q)
     new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
-    new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
+    new_w = jnp.where(update, jnp.minimum(w + q, float(cfg.tsdf_max_weight)), w)
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:
         return out, jnp.zeros((2,), jnp.int32)  # dense path: nothing capped

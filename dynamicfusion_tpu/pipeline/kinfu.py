@@ -307,15 +307,19 @@ def step(
     warp, stats = warp_solver.solve(cfg, state.warp, inputs)
 
     # the frame's ONE exact KNN+DQB evaluation of the solved field, shared
-    # by fusion (voxel warp) and the model-map warp (insertion-seeded nodes
-    # below barely perturb the blended field — their dq is seeded FROM it)
+    # by fusion (voxel warp + observation quality) and the model-map warp
+    # (insertion-seeded nodes below barely perturb the blended field —
+    # their dq is seeded FROM it)
     full_scale = inputs.p_can.shape[0] > 8192
-    dq_grid = fusion.coarse_dq_grid(cfg, warp) if full_scale else None
+    if full_scale or cfg.fusion_quality_weight:
+        dq_grid, q_grid = fusion.coarse_field(cfg, warp)
+    else:
+        dq_grid, q_grid = None, None
 
     # ---- 5. non-rigid fusion into the canonical volume ----
     vol, bcounts = fusion.integrate_nonrigid(
         cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
-        with_counts=True, dq_grid=dq_grid,
+        with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
     )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
@@ -325,8 +329,11 @@ def step(
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----
+    # (grid-based map warp only at full scale — tiny test volumes have too
+    # few coarse cells for the trilinear blend to track the exact warp)
     (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
-        cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists), dq_grid=dq_grid
+        cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists),
+        dq_grid=dq_grid if full_scale else None,
     )
 
     new_state = PipelineState(

@@ -47,16 +47,19 @@ def test_prolong_matrix_exact_at_corners():
 
 
 def test_identity_warp_matches_rigid_integrate():
-    depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
-    dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+    # unit observation weights isolate the property under test (the warp
+    # path); the paper's quality weighting is covered by TestQualityWeight
+    cfg = dataclasses.replace(CFG, fusion_quality_weight=False)
+    depth = synthetic.sphere_depth(cfg.intr, cfg.rows, cfg.cols, (0, 0, 1.0), 0.25)
+    dists = preprocess.compute_dists(cfg.intr, jnp.asarray(depth))
     field = _identity_field()
 
-    vol_pose = se3.identity().at[:3, 3].set(jnp.asarray(CFG.volume_origin))
+    vol_pose = se3.identity().at[:3, 3].set(jnp.asarray(cfg.volume_origin))
     vol_r = tsdf_ops.integrate(
-        CFG, volume_model.create(CFG), dists, se3.compose(se3.inverse(_w2c()), vol_pose), CFG.intr
+        cfg, volume_model.create(cfg), dists, se3.compose(se3.inverse(_w2c()), vol_pose), cfg.intr
     )
     vol_n = fusion.integrate_nonrigid(
-        CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
+        cfg, volume_model.create(cfg), field, dists, se3.inverse(_w2c()), cfg.intr
     )
     # identity warp => identical update (up to float assoc.)
     np.testing.assert_allclose(
@@ -90,13 +93,48 @@ def test_translated_warp_shifts_surface():
 
 
 def test_fusion_accumulates_weight():
-    depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
-    dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+    cfg = dataclasses.replace(CFG, fusion_quality_weight=False)
+    depth = synthetic.sphere_depth(cfg.intr, cfg.rows, cfg.cols, (0, 0, 1.0), 0.25)
+    dists = preprocess.compute_dists(cfg.intr, jnp.asarray(depth))
     field = _identity_field()
-    vol = volume_model.create(CFG)
+    vol = volume_model.create(cfg)
     for _ in range(2):
-        vol = fusion.integrate_nonrigid(CFG, vol, field, dists, se3.inverse(_w2c()), CFG.intr)
+        vol = fusion.integrate_nonrigid(cfg, vol, field, dists, se3.inverse(_w2c()), cfg.intr)
     assert float(vol.weight.max()) == 2.0
+
+
+class TestQualityWeight:
+    def test_weight_increment_is_blend_quality(self):
+        """With the paper's observation weight, accumulated voxel weights
+        increase by the (bounded [0,1]) blend quality, not by 1."""
+        depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
+        dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+        field = _identity_field()
+        vol = fusion.integrate_nonrigid(
+            CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
+        )
+        wmax = float(vol.weight.max())
+        assert 0.0 < wmax <= 1.0
+
+    def test_unsupported_voxels_not_fused(self):
+        """Voxels far from every node (blend quality < fusion_quality_min)
+        must receive NO update — fusing through a garbage normalized blend
+        smears the canonical model."""
+        depth = synthetic.sphere_depth(CFG.intr, CFG.rows, CFG.cols, (0, 0, 1.0), 0.25)
+        dists = preprocess.compute_dists(CFG.intr, jnp.asarray(depth))
+        # one lone node in a corner: almost the whole volume is unsupported
+        pts = np.array([[0.45, 0.45, 1.4]], np.float32)
+        field = warpfield.init_from_cloud(
+            dataclasses.replace(CFG, node_radius=0.03),
+            jnp.asarray(pts), jnp.ones(1, bool),
+        )
+        vol = fusion.integrate_nonrigid(
+            CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
+        )
+        # the sphere region (center of the volume) is far from the node
+        w = np.asarray(vol.weight)
+        d = CFG.volume_dims
+        assert w[d // 2 - 4 : d // 2 + 4, d // 2 - 4 : d // 2 + 4, :].max() == 0.0
 
 
 def _displaced_field(shift=(0.02, -0.01, 0.015)):
