@@ -106,9 +106,13 @@ def run_quality(cfg, args):
 
     cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 19)
     pts = np.asarray(cloud.points)[np.asarray(cloud.valid)]
-    # evaluate only the deforming object's surface (exclude background)
+    # evaluate only the deforming object's surface: inside its own band AND
+    # away from the background sphere at (0.32, -0.18, 1.0) r=0.1, whose
+    # near side falls inside the inclusion radius and previously leaked up
+    # to 120 mm of "error" into the tail percentiles
     near = np.linalg.norm(pts - np.asarray(center), axis=-1) < radius + 0.12
-    pts = pts[near]
+    bg = np.linalg.norm(pts - np.array([0.32, -0.18, 1.0]), axis=-1) < 0.16
+    pts = pts[near & ~bg]
     err = np.abs(np.linalg.norm(pts - np.asarray(center), axis=-1) - radius)
     med_mm = float(np.median(err)) * 1000.0
     p95_mm = float(np.percentile(err, 95)) * 1000.0
