@@ -563,17 +563,21 @@ def solve(
     # After a REJECTED LM step the linearization point is unchanged, so the
     # system (jtj, jtr) can be reused with a larger damping — only accepted
     # steps pay for re-linearization + assembly (classic LM bookkeeping the
-    # naive unroll would waste ~110 ms/iteration on).
+    # naive unroll would waste ~110 ms/iteration on). Once the relative
+    # cost improvement falls below solver_function_tolerance (the Opt
+    # solver's fn-tolerance semantics, CombinedSolver.h:88), remaining
+    # iterations are skipped entirely via lax.cond — warm-started frames
+    # with little new deformation converge in 1-2 iterations.
     jtj = jnp.zeros((dof, dof))
     jtr = jnp.zeros((dof,))
-    need_relin = jnp.array(True)
 
     if system_fn is None:
         system_fn = lambda s_, dqs_: gn_system_dense(
             cfg, s_, dqs_, n_nodes, point_to_plane
         )
 
-    for _ in range(cfg.solver_nonlinear_iters):
+    def lm_iteration(st):
+        dqs, lm_lambda, cost_prev, accepted, jtj, jtr, need_relin, _ = st
         jtj, jtr = jax.lax.cond(
             need_relin,
             lambda dqs=dqs: system_fn(s, dqs),
@@ -603,12 +607,21 @@ def solve(
         )
         cand_cost = cost_at(cfg, s, cand, point_to_plane)
         better = cand_cost < cost_prev
+        improvement = jnp.where(better, cost_prev - cand_cost, 0.0)
         dqs = jnp.where(better, cand, dqs)
         cost_prev = jnp.where(better, cand_cost, cost_prev)
         lm_lambda = jnp.where(better, lm_lambda * 0.5, lm_lambda * 8.0)
         lm_lambda = jnp.clip(lm_lambda, 1e-8, 1e6)
         accepted = accepted + better.astype(jnp.int32)
-        need_relin = better
+        converged = better & (
+            improvement <= cfg.solver_function_tolerance * jnp.maximum(cost_prev, 1e-20)
+        )
+        return (dqs, lm_lambda, cost_prev, accepted, jtj, jtr, better, converged)
+
+    st = (dqs, lm_lambda, cost_prev, accepted, jtj, jtr, jnp.array(True), jnp.array(False))
+    for _ in range(cfg.solver_nonlinear_iters):
+        st = jax.lax.cond(st[-1], lambda st: st, lm_iteration, st)
+    dqs, lm_lambda, cost_prev, accepted = st[0], st[1], st[2], st[3]
 
     new_field = field._replace(dq=jnp.where(field.active[:, None], dqs, field.dq))
     return new_field, SolveStats(
