@@ -577,7 +577,7 @@ def solve(
         )
 
     def lm_iteration(st):
-        dqs, lm_lambda, cost_prev, accepted, jtj, jtr, need_relin, _ = st
+        it, dqs, lm_lambda, cost_prev, accepted, jtj, jtr, need_relin, _ = st
         jtj, jtr = jax.lax.cond(
             need_relin,
             lambda dqs=dqs: system_fn(s, dqs),
@@ -616,12 +616,21 @@ def solve(
         converged = better & (
             improvement <= cfg.solver_function_tolerance * jnp.maximum(cost_prev, 1e-20)
         )
-        return (dqs, lm_lambda, cost_prev, accepted, jtj, jtr, better, converged)
+        return (it + 1, dqs, lm_lambda, cost_prev, accepted, jtj, jtr, better, converged)
 
-    st = (dqs, lm_lambda, cost_prev, accepted, jtj, jtr, jnp.array(True), jnp.array(False))
-    for _ in range(cfg.solver_nonlinear_iters):
-        st = jax.lax.cond(st[-1], lambda st: st, lm_iteration, st)
-    dqs, lm_lambda, cost_prev, accepted = st[0], st[1], st[2], st[3]
+    # while_loop (not an unrolled cond chain): same early-exit semantics,
+    # one compiled body. NB an unrolled chain of lax.cond(converged, ...)
+    # around this body segfaults this toolchain's CPU compiler when other
+    # large graphs were compiled earlier in the process.
+    def lm_cond(st):
+        return (st[0] < cfg.solver_nonlinear_iters) & ~st[-1]
+
+    st = (
+        jnp.zeros((), jnp.int32), dqs, lm_lambda, cost_prev, accepted,
+        jtj, jtr, jnp.array(True), jnp.array(False),
+    )
+    st = jax.lax.while_loop(lm_cond, lm_iteration, st)
+    dqs, lm_lambda, cost_prev, accepted = st[1], st[2], st[3], st[4]
 
     new_field = field._replace(dq=jnp.where(field.active[:, None], dqs, field.dq))
     return new_field, SolveStats(
