@@ -169,10 +169,37 @@ class DynamicFusionConfig:
     # the scaling path (its matvec shards, Cholesky doesn't).
     solver_linear: str = "direct"
     solver_linear_tol: float = 1e-3     # PCG relative-residual stop
+    # The solve's live targets come from the RAW depth (the source fusion
+    # integrates) instead of the bilateral-filtered tracking pyramid: the
+    # filter's mm-scale smoothing otherwise accumulates into the warp field
+    # as phantom deformation (~0.8 mm/frame measured on a static scene).
+    solver_live_raw: bool = True
+    # Two-step optimization: robust 6-dof rigid fit of the live surface to
+    # the warped canonical model, folded into the POSE before the non-rigid
+    # solve (warp_solver.rigid_prealign; structure of arXiv:1906.08477).
+    # Prevents the warp field from absorbing camera-pose error — which
+    # otherwise removes ICP's restoring force and lets drift random-walk to
+    # tracking failure (measured: static-scene blow-up by frame 5).
+    solver_rigid_prealign: bool = True
+    # Alternative/additional gauge anchor: project the net rigid component
+    # out of each frame's warp increment (warpfield.remove_net_rigid).
+    # OFF by default: full removal distorts deformations whose visible part
+    # has a net rigid component (measured 1.71 -> 2.90 mm on the breathing
+    # sphere), and the prealign above prevents absorption at the source.
+    solver_remove_net_rigid: bool = False
+    # fraction removed per frame (leaky gauge anchor) when enabled
+    solver_net_rigid_alpha: float = 1.0
     solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
     solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
     solver_arap_weight: float = 200.0   # lambda for the regularization term
     solver_max_step: float = 0.5        # per-node twist-norm clamp per LM step
+    # LM damping floor, as a fraction of the mean active diagonal: weakly
+    # observed (silhouette) node blocks get at least this much relative
+    # damping. Measured on a static stress scene: with the floor, field
+    # displacement saturates (~15 mm) instead of creeping; tightening
+    # solver_max_step instead HURTS (truncated steps leave persistent
+    # misfit that accumulates into tracking failure).
+    solver_damping_floor: float = 0.05
     point_to_plane: bool = True         # paper data term; False = point-to-point
     # Reuse the previous frame's model raycast as the solver's canonical
     # surface (saves a full 256^3 raycast per frame; the pixel association

@@ -233,6 +233,63 @@ def insert_nodes(
     )
 
 
+def remove_net_rigid(prev: WarpField, new: WarpField, alpha: float = 1.0) -> WarpField:
+    """Project the net RIGID component out of one frame's warp increment.
+
+    Gauge/stability fix: the data term can represent a global rigid offset
+    (e.g. residual camera-pose error) as deformation, which silently
+    removes rigid misfit from ICP's view — pose drift then random-walks
+    with no restoring force and eventually corrupts tracking (measured: a
+    static tiny scene blows up ~46 deg by frame 5 without this). The
+    best-fit rigid motion G between the nodes' pre-solve and post-solve
+    live positions (weighted Kabsch over active nodes) is removed from
+    every node transform; the residual rigid misfit stays visible in the
+    model maps and the next frame's ICP — the camera's 6-dof estimator —
+    corrects it against the canonical-anchored model. Real deformations
+    are local (near-zero net rigid component), so they pass through.
+
+    ``alpha`` in (0, 1]: fraction of the net rigid motion removed per
+    frame (a LEAKY gauge anchor). 1 = full removal; smaller values still
+    decay absorbed drift geometrically while fighting genuine within-frame
+    motion less (whatever remains is ICP's to claim next frame).
+
+    No reference equivalent: the reference's pipeline never ran long
+    enough nonrigid feedback to hit this (its solve is data-term-only and
+    its fusion is rigid, SURVEY §2.9.5)."""
+    p = prev.positions
+    w = prev.active.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    a = dualquat.transform(prev.dq, p)  # pre-solve live node positions
+    b = dualquat.transform(new.dq, p)   # post-solve
+    ca = jnp.sum(a * w[:, None], axis=0) / n
+    cb = jnp.sum(b * w[:, None], axis=0) / n
+    h = jnp.einsum("ni,nj->ij", (a - ca) * w[:, None], b - cb)
+    u, _, vt = jnp.linalg.svd(h)
+    det = jnp.linalg.det(vt.T @ u.T)
+    r = vt.T @ jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, det])) @ u.T
+    t = cb - r @ ca
+
+    from dynamicfusion_tpu.core import quat as quat_mod
+
+    g_inv_dq = dualquat.from_rot_trans(
+        quat_mod.from_matrix(r.T), -(r.T @ t)
+    )
+    if alpha < 1.0:
+        # DQB-style interpolation toward identity (exact enough for the
+        # small per-frame G this removes)
+        ident = dualquat.identity()
+        g_inv_dq = dualquat.normalize(alpha * g_inv_dq + (1.0 - alpha) * ident)
+    cleaned = dualquat.normalize(dualquat.mul(g_inv_dq[None, :], new.dq))
+    ok = (
+        (jnp.sum(w) >= 3.0)
+        & jnp.isfinite(r).all()
+        & jnp.isfinite(t).all()
+        & jnp.isfinite(cleaned).all()
+    )
+    dq = jnp.where(ok & new.active[:, None], cleaned, new.dq)
+    return new._replace(dq=dq)
+
+
 def live_node_positions(field: WarpField) -> jnp.ndarray:
     """Node positions warped into the live frame: dg_v + t(dg_se3)
     (the reference's getNodesAsMat, warp_field.cpp:284-293, used to

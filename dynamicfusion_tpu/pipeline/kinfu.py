@@ -291,8 +291,23 @@ def step(
         )
         can_pts_w = se3.transform_points(pose, model.points)
         can_nrm_w = se3.rotate_dirs(pose, model.normals)
-    # live surface in world frame (at the model-map resolution)
-    live_pts_w = se3.transform_points(pose, pts_pyr[shift])
+    # live surface in world frame (at the model-map resolution). The
+    # SOLVER's live points come from the RAW depth — the same source fusion
+    # integrates. Using the bilateral-FILTERED pyramid here leaves a
+    # persistent mm-scale discrepancy between the (raw-integrated)
+    # canonical model and the solve's targets, which the solver dutifully
+    # absorbs as phantom deformation, growing every frame (measured
+    # ~0.8 mm/frame on a static scene until tracking failed). Normals stay
+    # filtered (they only set the point-to-plane residual direction and
+    # raw normals are noisy).
+    if cfg.solver_live_raw:
+        sub = cfg.raycast_subsample
+        raw_pts, _ = preprocess.compute_points_normals(
+            cfg.intr.level(shift), depth_mm[::sub, ::sub]
+        )
+    else:
+        raw_pts = pts_pyr[shift]
+    live_pts_w = se3.transform_points(pose, raw_pts)
     live_nrm_w = se3.rotate_dirs(pose, nrm_pyr[shift])
 
     sub = lambda a: a[::stride, ::stride].reshape(-1, 3)
@@ -303,8 +318,29 @@ def step(
         n_live=sub(live_nrm_w),
     )
 
+    # ---- 4a. rigid pre-alignment (two-step optimization) ----
+    # residual camera-pose error is claimed by the pose HERE, so the warp
+    # solve below only sees true deformation — without this the field
+    # absorbs pose error and ICP loses its restoring force (drift
+    # random-walks to tracking failure; see warp_solver.rigid_prealign)
+    if cfg.solver_rigid_prealign:
+        t_pre = warp_solver.rigid_prealign(cfg, state.warp, inputs)
+        pose = se3.compose(t_pre, pose)
+        inputs = inputs._replace(
+            p_live=se3.transform_points(t_pre, inputs.p_live),
+            n_live=se3.rotate_dirs(t_pre, inputs.n_live),
+        )
+
     # ---- 4. non-rigid warp-field solve ----
     warp, stats = warp_solver.solve(cfg, state.warp, inputs)
+    if cfg.solver_remove_net_rigid:
+        # optional belt-and-suspenders gauge anchor (off by default: the
+        # rigid prealign above prevents absorption at the source, and full
+        # removal distorts deformations whose VISIBLE part has a net rigid
+        # component — e.g. the camera-facing side of a breathing sphere)
+        warp = warpfield.remove_net_rigid(
+            state.warp, warp, alpha=cfg.solver_net_rigid_alpha
+        )
 
     # the frame's ONE exact KNN+DQB evaluation of the solved field, shared
     # by fusion (voxel warp + observation quality) and the model-map warp

@@ -523,6 +523,74 @@ def _solve_linear(cfg: DynamicFusionConfig, damped: jnp.ndarray, jtr: jnp.ndarra
 
 
 # --------------------------------------------------------------------------
+# rigid pre-alignment (two-step optimization)
+# --------------------------------------------------------------------------
+
+
+def rigid_prealign(
+    cfg: DynamicFusionConfig,
+    field: WarpField,
+    inputs: WarpSolveInputs,
+    stride: int = 4,
+    iters: int = 3,
+) -> jnp.ndarray:
+    """Robust 6-dof rigid fit of the live surface to the warped canonical
+    model, to be folded into the camera pose BEFORE the non-rigid solve.
+
+    Without it, residual camera-pose error is representable by (and gets
+    absorbed into) the warp field, which removes ICP's restoring force —
+    pose drift then random-walks to tracking failure (measured on a static
+    scene). With the warp's current prediction W(canonical) as the target,
+    the misfit seen here is pose error + one frame of NEW deformation; the
+    deformation is local while pose error moves every (Tukey-inlier) point
+    rigidly, so the robust fit recovers the pose error. Two-step
+    (rigid-then-nonrigid) optimization of embedded deformation graphs is
+    the structure of arXiv:1906.08477.
+
+    Returns T (4, 4): apply as pose <- T @ pose; live world points as
+    p <- T p (the caller re-derives them from the corrected pose)."""
+    k = cfg.knn_k
+    p_can = inputs.p_can[::stride]
+    p_live = inputs.p_live[::stride]
+    n_live = inputs.n_live[::stride]
+    valid = (
+        ~jnp.isnan(p_can[:, 0])
+        & ~jnp.isnan(p_live[:, 0])
+        & ~jnp.isnan(n_live[:, 0])
+    )
+    p_can = jnp.nan_to_num(p_can)
+    p_live = jnp.nan_to_num(p_live)
+    n_live = jnp.nan_to_num(n_live)
+
+    # current field's live-surface prediction of the canonical samples
+    w_can = warpfield.warp_points(
+        field, p_can, k=k, method=cfg.knn_method
+    )
+    valid = valid & jnp.isfinite(w_can).all(axis=-1)
+    w_can = jnp.nan_to_num(w_can)
+
+    from dynamicfusion_tpu.core import se3
+
+    t_acc = jnp.eye(4)
+    for _ in range(iters):
+        pl = se3.transform_points(t_acc, p_live)
+        nl = se3.rotate_dirs(t_acc, n_live)
+        r = jnp.sum(nl * (w_can - pl), axis=-1)          # (P,)
+        sw = tukey_sqrt_weight(r, cfg.solver_tukey_c) * valid
+        row = jnp.concatenate([jnp.cross(pl, nl), nl], axis=-1) * sw[:, None]
+        rhs = r * sw
+        hi = jax.lax.Precision.HIGHEST
+        a = jnp.einsum("pi,pj->ij", row, row, precision=hi)
+        b = jnp.einsum("pi,p->i", row, rhs, precision=hi)
+        good = jnp.isfinite(jnp.linalg.det(a)) & (jnp.abs(jnp.linalg.det(a)) > 1e-15)
+        a_safe = jnp.where(good, a, jnp.eye(6))
+        x = jnp.linalg.solve(a_safe, jnp.where(good, b, jnp.zeros(6)))
+        x = jnp.where(good & jnp.isfinite(x).all(), x, jnp.zeros(6))
+        t_acc = jnp.where(good, se3.compose(se3.exp_twist(x), t_acc), t_acc)
+    return t_acc
+
+
+# --------------------------------------------------------------------------
 # the solver
 # --------------------------------------------------------------------------
 
@@ -583,11 +651,19 @@ def solve(
             lambda dqs=dqs: system_fn(s, dqs),
             lambda: (jtj, jtr),
         )
-        # LM damping on the diagonal + unit diagonal for inactive/empty dofs
+        # LM damping on the diagonal + unit diagonal for inactive/empty dofs.
+        # The damping floor (a fraction of the mean active diagonal) keeps
+        # weakly-observed nodes — a handful of Tukey-weighted points for 6
+        # dof — from taking near-unregularized steps: measured 150-480 mm
+        # runaway translations on silhouette nodes without it.
         diag = jnp.diagonal(jtj)
+        mean_diag = jnp.sum(jnp.where(active_dof, diag, 0.0)) / jnp.maximum(
+            jnp.sum(active_dof.astype(jnp.float32)), 1.0
+        )
+        diag_eff = jnp.maximum(diag, cfg.solver_damping_floor * mean_diag)
         damped = (
             jtj
-            + jnp.diag(lm_lambda * diag)
+            + jnp.diag(lm_lambda * diag_eff)
             + jnp.diag(jnp.where(active_dof & (diag > 1e-12), 1e-8, 1.0))
         )
         step = _solve_linear(cfg, damped, jtr, n_nodes)

@@ -269,3 +269,40 @@ class TestLinearSolvers:
         np.testing.assert_allclose(
             np.asarray(fd.dq), np.asarray(fp.dq), atol=1e-3
         )
+
+
+class TestRigidPrealign:
+    def test_recovers_known_rigid_offset(self):
+        """With an identity field, a rigidly shifted live set must be
+        explained entirely by the returned pose correction."""
+        from dynamicfusion_tpu.core import se3
+
+        rng = np.random.default_rng(7)
+        can = rng.uniform(-0.5, 0.5, (400, 3)).astype(np.float32)
+        nrm = rng.normal(size=(400, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        t_true = np.asarray(se3.exp_twist(jnp.asarray([0.01, -0.02, 0.015, 0.02, 0.01, -0.03])))
+        # live = T_true^-1 applied to canonical: prealign must return ~T_true
+        live = (can - t_true[:3, 3]) @ t_true[:3, :3]
+        field = _cube_field()
+        cfg = dataclasses.replace(ORACLE_CFG, solver_tukey_c=1.0)
+        inputs = warp_solver.WarpSolveInputs(
+            p_can=jnp.asarray(can), n_can=jnp.asarray(nrm),
+            p_live=jnp.asarray(live.astype(np.float32)), n_live=jnp.asarray(nrm),
+        )
+        t_est = np.asarray(warp_solver.rigid_prealign(cfg, field, inputs, stride=1))
+        live_fixed = live @ t_est[:3, :3].T + t_est[:3, 3]
+        np.testing.assert_allclose(live_fixed, can, atol=2e-3)
+
+    def test_identity_when_aligned(self):
+        rng = np.random.default_rng(8)
+        can = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+        nrm = rng.normal(size=(300, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        field = _cube_field()
+        inputs = warp_solver.WarpSolveInputs(
+            p_can=jnp.asarray(can), n_can=jnp.asarray(nrm),
+            p_live=jnp.asarray(can), n_live=jnp.asarray(nrm),
+        )
+        t_est = np.asarray(warp_solver.rigid_prealign(ORACLE_CFG, field, inputs, stride=1))
+        np.testing.assert_allclose(t_est, np.eye(4), atol=1e-4)
