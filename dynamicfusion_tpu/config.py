@@ -201,6 +201,14 @@ class DynamicFusionConfig:
     # misfit that accumulates into tracking failure).
     solver_damping_floor: float = 0.05
     point_to_plane: bool = True         # paper data term; False = point-to-point
+    # Assemble the data-term JtJ from int8-quantized Jacobian rows with
+    # per-COLUMN scales (A = Q diag(c) factors EXACTLY through the syrk:
+    # A^T A = diag(c) Q^T Q diag(c), so the only error is the <=0.4%
+    # per-entry rounding of Q). The int8 MXU path runs the syrk ~5x faster
+    # than bf16 (measured 2.7 vs 14.4 ms at the bench shape). Jtr stays
+    # f32-exact — the gradient sets the solution; the Hessian only shapes
+    # the step, and LM accept/reject uses the exact cost.
+    solver_jtj_int8: bool = True
     # Reuse the previous frame's model raycast as the solver's canonical
     # surface (saves a full 256^3 raycast per frame; the pixel association
     # then carries one frame of camera motion — negligible at tracking

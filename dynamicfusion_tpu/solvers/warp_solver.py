@@ -379,7 +379,19 @@ def data_system(
     a = jnp.einsum(
         "pkn,prkd->prnd", oh, jac.astype(jnp.bfloat16)
     ).reshape(-1, dof)
-    jtj = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+    if cfg.solver_jtj_int8:
+        # int8 rows with per-COLUMN scales: A = Q diag(c) factors exactly
+        # through the syrk (A^T A = diag(c) Q^T Q diag(c)); the int8 MXU
+        # path is ~5x the bf16 rate (2.7 vs 14.4 ms at bench shape).
+        # Column scales absorb the rot-vs-trans dof magnitude split; the
+        # only approximation is <= (0.5/127) of column max per entry.
+        af = a.astype(jnp.float32)
+        c = jnp.maximum(jnp.max(jnp.abs(af), axis=0), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(af / c), -127.0, 127.0).astype(jnp.int8)
+        g = jnp.dot(q.T, q, preferred_element_type=jnp.int32)
+        jtj = g.astype(jnp.float32) * (c[:, None] * c[None, :])
+    else:
+        jtj = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
 
     # ---- Jtr ----
     # jr = jac^T r needs better than bf16: split into bf16 hi + bf16 lo and
@@ -415,30 +427,53 @@ def edge_system(
     re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
     e = s.e_src.shape[0]
     c = e // n_nodes  # k_edge: e_src = repeat(arange(N), c) by construction
-
-    h_ii = jnp.einsum("era,erb->eab", je_i, je_i)  # (E, 6, 6)
-    h_jj = jnp.einsum("era,erb->eab", je_j, je_j)
-    h_ij = jnp.einsum("era,erb->eab", je_i, je_j)
-
-    # diagonal blocks: ii lands on the (static) source rows; jj scatters to
-    # dst via a one-hot matmul (302 MFLOP at bench shape)
-    diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1)
     oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)  # (E, N)
-    diag = diag + jnp.einsum(
-        "en,eab->nab", oh_d, h_jj, preferred_element_type=jnp.float32
-    )
 
-    # off-diagonal (i, j) blocks: batched per source row over its c edges
-    oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
-    off = jnp.einsum(
-        "ncm,ncab->nmab", oh_dr, h_ij.reshape(n_nodes, c, 6, 6),
-        preferred_element_type=jnp.float32,
-    )  # (N, M, 6, 6): block (i, j)
+    if cfg.solver_jtj_int8:
+        # Expanded-row int8 syrk: each edge residual row carries two 6-dof
+        # blocks (cols i and j); R^T R on the (3E, 6N) row matrix IS the
+        # four-block-per-edge sum the blockwise path scattered by hand.
+        # In bf16 this formulation lost to blockwise (~9 ms syrk); at the
+        # int8 MXU rate it wins outright (~2 ms vs ~16 ms of blockwise
+        # (N,M,6,6) materialization+transposes measured on v5e). Per-column
+        # scales factor exactly through the syrk; ARAP rows get their own
+        # scales (they are ~sqrt(lambda*alpha) larger than data rows).
+        oh_s = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)
+        a_e = (
+            jnp.einsum("en,erd->ernd", oh_s, je_i.astype(jnp.bfloat16))
+            + jnp.einsum(
+                "en,erd->ernd",
+                oh_d.astype(jnp.bfloat16),
+                je_j.astype(jnp.bfloat16),
+            )
+        ).reshape(-1, dof).astype(jnp.float32)
+        cs = jnp.maximum(jnp.max(jnp.abs(a_e), axis=0), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(a_e / cs), -127.0, 127.0).astype(jnp.int8)
+        g = jnp.dot(q.T, q, preferred_element_type=jnp.int32)
+        jtj = g.astype(jnp.float32) * (cs[:, None] * cs[None, :])
+    else:
+        h_ii = jnp.einsum("era,erb->eab", je_i, je_i)  # (E, 6, 6)
+        h_jj = jnp.einsum("era,erb->eab", je_j, je_j)
+        h_ij = jnp.einsum("era,erb->eab", je_i, je_j)
 
-    full = off.transpose(0, 2, 1, 3) + off.transpose(1, 3, 0, 2)  # + (j,i)^T
-    ar = jnp.arange(n_nodes)
-    full = full.at[ar, :, ar, :].add(diag)
-    jtj = full.reshape(dof, dof)
+        # diagonal blocks: ii lands on the (static) source rows; jj scatters
+        # to dst via a one-hot matmul (302 MFLOP at bench shape)
+        diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1)
+        diag = diag + jnp.einsum(
+            "en,eab->nab", oh_d, h_jj, preferred_element_type=jnp.float32
+        )
+
+        # off-diagonal (i, j) blocks: batched per source row over its c edges
+        oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
+        off = jnp.einsum(
+            "ncm,ncab->nmab", oh_dr, h_ij.reshape(n_nodes, c, 6, 6),
+            preferred_element_type=jnp.float32,
+        )  # (N, M, 6, 6): block (i, j)
+
+        full = off.transpose(0, 2, 1, 3) + off.transpose(1, 3, 0, 2)  # +(j,i)^T
+        ar = jnp.arange(n_nodes)
+        full = full.at[ar, :, ar, :].add(diag)
+        jtj = full.reshape(dof, dof)
 
     # edge gradient in f32: source side static-structured, dst via one-hot
     g_i = jnp.einsum("erd,er->ed", je_i, re)  # (E, 6)
