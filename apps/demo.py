@@ -43,13 +43,7 @@ def build_cfg(args) -> DynamicFusionConfig:
             max_nodes=256,
             node_sample_step=7,
         )
-    return dataclasses.replace(
-        DynamicFusionConfig.default_dynamicfusion(),
-        node_radius=0.05,
-        node_coverage=0.025,
-        solver_tukey_c=0.05,
-        solver_arap_weight=10.0,
-    )
+    return DynamicFusionConfig.default_dynamicfusion()
 
 
 def frame_source(args, cfg):
@@ -114,11 +108,12 @@ def main():
     print(json.dumps({"frames": n, "fps": round(n / elapsed, 3), "seconds": round(elapsed, 1)}))
 
     if args.out:
+        from dynamicfusion_tpu.io import export as export_mod
         from dynamicfusion_tpu.ops import tsdf as tsdf_ops
 
         cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 20)
         normals = tsdf_ops.extract_normals(cfg, df.state.vol, cloud.points)
-        checkpoint.save_mesh_ply(
+        export_mod.save_ply(
             os.path.join(args.out, "canonical_cloud.ply"),
             np.asarray(cloud.points),
             np.asarray(normals),

@@ -52,10 +52,6 @@ def build_cfg(args) -> DynamicFusionConfig:
         max_nodes=args.nodes,
         solver_nonlinear_iters=args.solver_iters,
         solver_point_stride=args.point_stride,
-        node_radius=0.05,
-        node_coverage=0.025,
-        solver_tukey_c=0.05,
-        solver_arap_weight=10.0,
     )
 
 

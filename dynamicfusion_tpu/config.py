@@ -123,13 +123,15 @@ class DynamicFusionConfig:
     # Warp field. KNN k matches the reference's KNN_NEIGHBOURS=8
     # (/root/reference/kfusion/include/kfusion/warp_field.hpp:10). node_radius
     # is dg_w; the reference hardcodes 3.0 via a FIXME
-    # (/root/reference/kfusion/src/warp_field.cpp:44-48); the paper uses a
-    # multiple of the node-sampling resolution. Exposed as an explicit knob.
+    # (/root/reference/kfusion/src/warp_field.cpp:44-48) — that value makes
+    # every node cover the whole 1 m scene and is measurably unstable as a
+    # default; it lives in the reference_parity() preset. The default here
+    # is 2x node_coverage (the paper ties dg_w to the sampling resolution).
     knn_k: int = 8
     knn_method: str = "approx"  # "approx" (lax.approx_max_k, ~10x faster) | "exact"
     max_nodes: int = 1024          # static node capacity (padded+masked)
     node_sample_step: int = 50     # sample every Nth surface vertex as a node
-    node_radius: float = 3.0       # dg_w, meters (reference FIXME value)
+    node_radius: float = 0.05      # dg_w, meters
     node_coverage: float = 0.025   # meters; insertion radius for new nodes
     # Insertion-candidate subsampling: the coverage test (1-NN over the
     # whole model map) doesn't need every pixel — a stride-s subset still
@@ -189,9 +191,15 @@ class DynamicFusionConfig:
     solver_remove_net_rigid: bool = False
     # fraction removed per frame (leaky gauge anchor) when enabled
     solver_net_rigid_alpha: float = 1.0
-    solver_tukey_c: float = 0.01        # Tukey robust constant (paper value)
+    # Tukey c: the paper's 0.01 m assumes noiseless association; with
+    # point-to-plane residuals over a deforming surface the per-frame NEW
+    # deformation itself reaches ~1 cm, so 0.01 rejects genuine motion as
+    # outliers (measured tracking collapse on the deforming-sphere bench).
+    # 0.05 keeps real motion in the quadratic regime while still rejecting
+    # gross association errors. Paper values: reference_parity().
+    solver_tukey_c: float = 0.05        # Tukey robust constant, meters
     solver_huber_delta: float = 1e-4    # Huber constant for ARAP edges
-    solver_arap_weight: float = 200.0   # lambda for the regularization term
+    solver_arap_weight: float = 10.0    # lambda for the regularization term
     solver_max_step: float = 0.5        # per-node twist-norm clamp per LM step
     # LM damping floor, as a fraction of the mean active diagonal: weakly
     # observed (silhouette) node blocks get at least this much relative
@@ -278,6 +286,22 @@ class DynamicFusionConfig:
     def default_dynamicfusion(cls) -> "DynamicFusionConfig":
         """The reference's dynamicfusion preset (kinfu.cpp:14-49)."""
         return cls()
+
+    @classmethod
+    def reference_parity(cls) -> "DynamicFusionConfig":
+        """The reference's literal parameter values where they differ from
+        the tuned defaults: the FIXME-hardcoded dg_w = 3.0 m
+        (/root/reference/kfusion/src/warp_field.cpp:44-48), the paper-quoted
+        robust constants the reference defines but never applies
+        (optimisation.hpp:84-88,142-146), and the heavy ARAP lambda. These
+        are known-unstable as a running configuration (scripts/
+        scaling_check.py); use for oracle tests and parity studies only."""
+        return cls(
+            node_radius=3.0,
+            solver_tukey_c=0.01,
+            solver_huber_delta=1e-4,
+            solver_arap_weight=200.0,
+        )
 
     @classmethod
     def default_kinfu(cls) -> "DynamicFusionConfig":

@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynamicfusion_tpu.config import DynamicFusionConfig
@@ -75,7 +75,14 @@ def make_sharded_system(
     axis: str = "d",
 ):
     """system_fn(s, dqs) -> (jtj, jtr) where the data-term assembly runs on
-    point shards and ONE psum reduces the (6N,6N)/(6N,) partials."""
+    point shards and ONE psum reduces the (6N,6N)/(6N,) partials.
+
+    Equivalence contract: the result equals the single-device assembly for
+    any shard count. With solver_jtj_int8 that requires shard-INVARIANT
+    quantization, so the per-column |A| maxima are pmax'd across shards
+    (one extra (6N,) all-reduce per relinearization) before quantizing —
+    every shard then uses the same scales and the psum of int8 Grams is
+    exactly the single-device int8 Gram."""
     specs = structure_specs(axis)
 
     @partial(
@@ -86,7 +93,8 @@ def make_sharded_system(
     )
     def system(s_local: SolveStructure, dqs: jnp.ndarray):
         jtj_d, jtr_d = warp_solver.data_system(
-            cfg, s_local, dqs, n_nodes, point_to_plane
+            cfg, s_local, dqs, n_nodes, point_to_plane,
+            col_scale_reduce=lambda m: jax.lax.pmax(m, axis),
         )
         jtj_d = jax.lax.psum(jtj_d, axis)       # the Schur reduction (ICI)
         jtr_d = jax.lax.psum(jtr_d, axis)

@@ -102,8 +102,13 @@ def estimate_transform(
     iteration count.
 
     Degeneracy: where |det A| < 1e-15 or non-finite, the increment is
-    skipped and ``ok`` goes False (the reference aborts the frame and
-    resets, projective_icp.cpp:197-203 — the caller decides that)."""
+    skipped; ``ok`` is the health of the FINEST executed level's last
+    iteration. (The reference aborts the frame and resets on any degenerate
+    iteration, projective_icp.cpp:197-203 — but a singular system at a
+    coarse level that the finer levels recover from is not a tracking
+    failure, and a hard reset there destroys minutes of fused model; what
+    decides whether the pose is trustworthy is the state of the
+    finest-resolution solve at convergence.)"""
     dist2_thres = cfg.icp_dist_thres * cfg.icp_dist_thres
     min_cos = math.cos(cfg.icp_angle_thres)
 
@@ -125,7 +130,7 @@ def estimate_transform(
         pp, pn = prev_pts_pyr[level], prev_nrm_pyr[level]
 
         def body(st, cp=cp, cn=cn, pp=pp, pn=pn, intr_l=intr_l):
-            i, t, ok, _ = st
+            i, t, _, _ = st
             a, b = _build_system(
                 intr_l, t, cp, cn, pp, pn, dist2_thres, min_cos
             )
@@ -138,10 +143,11 @@ def estimate_transform(
             t_inc = se3.exp_twist(x)
             t = jnp.where(good, se3.compose(t_inc, t), t)
             # degenerate iterations (good=False) keep retrying up to the
-            # cap, exactly like the static unroll did — only a small
-            # CONVERGED step ends the level early
+            # cap — only a small CONVERGED step ends the level early; the
+            # carried `good` is the LAST iteration's health, so a recovered
+            # level reports healthy
             step_norm = jnp.where(good, jnp.linalg.norm(x), jnp.inf)
-            return (i + 1, t, ok & good, step_norm)
+            return (i + 1, t, good, step_norm)
 
         # the schedule (cfg.icp_iters, the reference's {10,5,4,0}) is the
         # per-level CAP; converged levels exit early on the GN step norm —
@@ -151,7 +157,9 @@ def estimate_transform(
             i, _, _, step_norm = st
             return (i < iters) & (step_norm > cfg.icp_step_tol)
 
-        _, t, ok, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), t, ok, jnp.asarray(jnp.inf))
-        )
+        if iters > 0:
+            _, t, level_ok, _ = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), t, jnp.array(True), jnp.asarray(jnp.inf))
+            )
+            ok = level_ok  # finest executed level's final health wins
     return IcpResult(transform=t, ok=ok)

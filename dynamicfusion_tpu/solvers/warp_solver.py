@@ -363,10 +363,17 @@ def data_system(
     dqs: jnp.ndarray,
     n_nodes: int,
     point_to_plane: bool,
+    col_scale_reduce=None,
 ):
     """Data-term contribution to the normal equations. Touches only the
     point fields of ``s`` — on a point shard inside shard_map this is the
-    per-device partial whose psum is the distributed GN reduction."""
+    per-device partial whose psum is the distributed GN reduction.
+
+    ``col_scale_reduce`` (optional, (6N,) -> (6N,)) reduces the per-column
+    |A| maxima across shards BEFORE int8 quantization — the distributed
+    assembly passes a pmax so every shard quantizes with the same global
+    scales and the psum of shard Grams equals the single-device int8
+    assembly exactly (diag(c) (sum_s Qs^T Qs) diag(c))."""
     dof = 6 * n_nodes
     r, jac = data_residual_and_jac(cfg, s, dqs, point_to_plane)
 
@@ -385,8 +392,16 @@ def data_system(
         # path is ~5x the bf16 rate (2.7 vs 14.4 ms at bench shape).
         # Column scales absorb the rot-vs-trans dof magnitude split; the
         # only approximation is <= (0.5/127) of column max per entry.
+        # Overflow note: the int32 Gram accumulates at most n_rows*127^2
+        # per entry (2^31 at ~133k saturated rows), but the one-hot rows
+        # are K-sparse per node so any column pair shares << n_rows
+        # non-zero products; at the bench shape (<=20k rows) even the
+        # dense bound is ~40x under the limit.
         af = a.astype(jnp.float32)
-        c = jnp.maximum(jnp.max(jnp.abs(af), axis=0), 1e-12) / 127.0
+        cmax = jnp.max(jnp.abs(af), axis=0)
+        if col_scale_reduce is not None:
+            cmax = col_scale_reduce(cmax)
+        c = jnp.maximum(cmax, 1e-12) / 127.0
         q = jnp.clip(jnp.round(af / c), -127.0, 127.0).astype(jnp.int8)
         g = jnp.dot(q.T, q, preferred_element_type=jnp.int32)
         jtj = g.astype(jnp.float32) * (c[:, None] * c[None, :])
@@ -414,15 +429,19 @@ def edge_system(
     n_nodes: int,
 ):
     """ARAP edge contribution to the normal equations (small: E = N*k_edge
-    edges; replicated in the distributed solve), assembled BLOCKWISE.
+    edges; replicated in the distributed solve).
 
-    Each edge (i, j) contributes exactly four 6x6 blocks to JtJ:
+    Default path (solver_jtj_int8=True): expanded-row int8 syrk — each edge
+    residual row carries two 6-dof blocks (cols i and j) and R^T R on the
+    (3E, 6N) int8 row matrix runs at the int8 MXU rate (~2 ms at bench
+    shape). Fallback (int8 off, used by the f32 oracle tests): BLOCKWISE
+    assembly — each edge (i, j) contributes exactly four 6x6 blocks,
     (i,i) += Ji^T Ji, (i,j) += Ji^T Jj, (j,i) += its transpose,
-    (j,j) += Jj^T Jj. The earlier expanded-row formulation syrk'd a
-    (3E, 6N) matrix (~9 ms at bench shape — nearly as much as the data
-    term's 19200-row syrk, for only 4096 edges); the per-edge blocks are
-    ~3e8 FLOPs of small batched matmuls instead, placed via build_edges'
-    static source structure (e_src = repeat(arange(N), k_edge))."""
+    (j,j) += Jj^T Jj, placed via build_edges' static source structure
+    (e_src = repeat(arange(N), k_edge)). In bf16/f32 the expanded-row syrk
+    cost ~9 ms and lost to blockwise (~3e8 FLOPs of small batched matmuls);
+    at the int8 rate the order flips (~2 ms vs ~16 ms of (N,M,6,6)
+    materialization+transposes measured on v5e)."""
     dof = 6 * n_nodes
     re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
     e = s.e_src.shape[0]

@@ -3,14 +3,16 @@
 The reference has no checkpointing at all (SURVEY §5 — its only persistence
 is an optional rendered-JPEG dump). Here the complete pipeline state
 (canonical TSDF volume, warp-field nodes, camera pose, model maps, frame
-counter) round-trips through orbax, so a reconstruction can be stopped and
-resumed, or the canonical model exported for analysis.
+counter) round-trips through a single compressed .npz (dependency-light;
+no orbax), with config shape checks on load. ``load(..., mesh=...)``
+restores directly onto a device mesh with the pipeline's shardings, so a
+sharded reconstruction resumes sharded. Surface export lives in
+``io/export`` (PLY/OBJ, binary or ascii).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np
@@ -20,21 +22,24 @@ from dynamicfusion_tpu.pipeline import kinfu
 
 
 def save(path: str, state: kinfu.PipelineState) -> None:
-    """Write the pipeline state as a single .npz (simple, dependency-light;
-    orbax is available for sharded multi-host snapshots)."""
+    """Write the pipeline state as a single compressed .npz. Sharded state
+    is gathered to host (np.asarray) — the checkpoint format is
+    mesh-shape-independent; re-sharding happens on load."""
     flat, treedef = jax.tree.flatten(state)
     arrays = {f"a{i}": np.asarray(x) for i, x in enumerate(flat)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, n=len(flat), **arrays)
 
 
-def load(path: str, cfg: DynamicFusionConfig) -> kinfu.PipelineState:
+def load(path: str, cfg: DynamicFusionConfig, mesh=None) -> kinfu.PipelineState:
+    """Restore a pipeline state. With ``mesh`` (a jax.sharding.Mesh) the
+    state is device_put with the sharded pipeline's layout
+    (parallel.sharded.state_shardings) — ready for make_sharded_step."""
     data = np.load(path)
     n = int(data["n"])
     flat = [data[f"a{i}"] for i in range(n)]
     template = kinfu.init_state(cfg)
     _, treedef = jax.tree.flatten(template)
-    state = jax.tree.unflatten(treedef, flat)
     # shape check against the config
     t_flat, _ = jax.tree.flatten(template)
     for a, b in zip(flat, t_flat):
@@ -42,24 +47,9 @@ def load(path: str, cfg: DynamicFusionConfig) -> kinfu.PipelineState:
             raise ValueError(
                 f"checkpoint shape {a.shape} incompatible with config shape {b.shape}"
             )
+    state = jax.tree.unflatten(treedef, flat)
+    if mesh is not None:
+        from dynamicfusion_tpu.parallel import sharded
+
+        state = sharded.shard_state(cfg, mesh, state)
     return state
-
-
-def save_mesh_ply(path: str, points: np.ndarray, normals: Optional[np.ndarray] = None) -> None:
-    """Export an extracted surface cloud as ASCII PLY (the reference lists
-    .ply/.obj export as unfinished future work, Report.md:57)."""
-    points = np.asarray(points)
-    valid = ~np.isnan(points[:, 0])
-    points = points[valid]
-    if normals is not None:
-        normals = np.asarray(normals)[valid]
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {len(points)}\n")
-        f.write("property float x\nproperty float y\nproperty float z\n")
-        if normals is not None:
-            f.write("property float nx\nproperty float ny\nproperty float nz\n")
-        f.write("end_header\n")
-        for i in range(len(points)):
-            row = points[i].tolist() + (normals[i].tolist() if normals is not None else [])
-            f.write(" ".join(f"{v:.6f}" for v in row) + "\n")

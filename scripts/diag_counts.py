@@ -11,10 +11,7 @@ from dynamicfusion_tpu.core import se3
 from dynamicfusion_tpu.io import synthetic
 from dynamicfusion_tpu.ops import bricks, preprocess
 
-cfg = dataclasses.replace(
-    DynamicFusionConfig.default_dynamicfusion(),
-    node_radius=0.05, node_coverage=0.025,
-)
+cfg = DynamicFusionConfig.default_dynamicfusion()
 
 scenes = {
     "bench": synthetic.scene_depth(

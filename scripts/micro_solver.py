@@ -50,9 +50,7 @@ def main():
     args = ap.parse_args()
 
     cfg = dataclasses.replace(
-        DynamicFusionConfig.default_dynamicfusion(),
-        max_nodes=args.nodes, node_radius=0.05, node_coverage=0.025,
-        solver_tukey_c=0.05, solver_arap_weight=10.0,
+        DynamicFusionConfig.default_dynamicfusion(), max_nodes=args.nodes,
     )
     rng = np.random.default_rng(0)
     npts = args.p

@@ -70,11 +70,7 @@ def main():
     if args.small:
         cfg = DynamicFusionConfig.small(dims=64, rows=120, cols=160)
     else:
-        cfg = dataclasses.replace(
-            DynamicFusionConfig.default_dynamicfusion(),
-            node_radius=0.05, node_coverage=0.025,
-            solver_tukey_c=0.05, solver_arap_weight=10.0,
-        )
+        cfg = DynamicFusionConfig.default_dynamicfusion()
     print(f"device: {jax.devices()[0]}  cfg: {cfg.cols}x{cfg.rows} "
           f"{cfg.volume_dims}^3 nodes={cfg.max_nodes}", flush=True)
 

@@ -42,10 +42,6 @@ def main():
         DynamicFusionConfig(
             rows=64, cols=128, volume_dims=64, max_nodes=64,
             node_sample_step=5, solver_nonlinear_iters=2,
-            # tuned warp knobs (the raw defaults keep the reference's
-            # FIXME node_radius=3 for parity, which is known-unstable)
-            node_radius=0.05, node_coverage=0.025,
-            solver_tukey_c=0.05, solver_arap_weight=10.0,
         ),
         intr=dataclasses.replace(
             DynamicFusionConfig().intr, fx=114.0, fy=114.0, cx=64.0, cy=32.0

@@ -56,11 +56,44 @@ def test_load_rejects_wrong_config(tmp_path):
 
 
 def test_ply_export(tmp_path):
+    # checkpoint's old ascii writer was consolidated into io/export.save_ply
+    from dynamicfusion_tpu.io import export as export_mod
+
     pts = np.array([[0, 0, 1], [0.1, 0.2, 0.9], [np.nan, 0, 0]], np.float32)
     nrm = np.array([[0, 0, -1], [0, 1, 0], [0, 0, 1]], np.float32)
     p = str(tmp_path / "mesh.ply")
-    checkpoint.save_mesh_ply(p, pts, nrm)
+    export_mod.save_ply(p, pts, nrm, binary=False)
     lines = open(p).read().splitlines()
     assert lines[0] == "ply"
     assert "element vertex 2" in "\n".join(lines)  # NaN row dropped
-    assert len([l for l in lines if not l.startswith(("ply", "format", "element", "property", "end_"))]) == 2
+    data = [
+        l for l in lines
+        if not l.startswith(("ply", "format", "comment", "element", "property", "end_"))
+    ]
+    assert len(data) == 2
+
+
+def test_sharded_load_roundtrip(tmp_path):
+    """A checkpoint restores directly onto a device mesh with the sharded
+    pipeline's layout and the sharded step resumes from it."""
+    from dynamicfusion_tpu.parallel import sharded
+
+    df = kinfu.DynamicFusion(CFG)
+    d = _depth()
+    df(d)
+    df(d)
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save(p, df.state)
+
+    mesh = sharded.make_mesh(8)
+    restored = checkpoint.load(p, CFG, mesh=mesh)
+    # layout matches the sharded pipeline's spec
+    want = sharded.state_shardings(CFG, mesh)
+    assert restored.vol.tsdf.sharding == want.vol.tsdf
+    np.testing.assert_array_equal(
+        np.asarray(restored.vol.tsdf), np.asarray(df.state.vol.tsdf)
+    )
+    step = sharded.make_sharded_step(CFG, mesh)
+    st2, out = step(restored, d)
+    assert int(st2.frame_idx) == 3
+    assert np.isfinite(np.asarray(out.pose)).all()

@@ -72,6 +72,43 @@ def test_combined_motion():
     _check(pose)
 
 
+def test_singular_coarse_level_recovers():
+    """A degenerate COARSE level (all-NaN maps -> singular 6x6 every
+    iteration) must not poison ok when the finer levels track fine: ok
+    reflects the finest executed level's final health, and the pose still
+    converges. (The reference hard-resets the whole reconstruction on any
+    degenerate iteration, projective_icp.cpp:197-203 + kinfu.cpp:276-277.)"""
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.006, -0.004, 0.008]
+    prev_pts, prev_nrm = _pyramids(_render(np.eye(4, dtype=np.float32)))
+    curr_pts, curr_nrm = _pyramids(_render(pose))
+    # poison the coarsest level that actually iterates (icp_iters fine->
+    # coarse = (10,5,4,0): level 2 is the coarsest with iters > 0)
+    kill = 2
+    prev_pts = list(prev_pts)
+    prev_nrm = list(prev_nrm)
+    prev_pts[kill] = jnp.full_like(prev_pts[kill], jnp.nan)
+    prev_nrm[kill] = jnp.full_like(prev_nrm[kill], jnp.nan)
+    res = icp.estimate_transform(CFG, list(curr_pts), list(curr_nrm), prev_pts, prev_nrm)
+    assert bool(res.ok)
+    est = np.asarray(res.transform)
+    assert np.linalg.norm(est[:3, 3] - pose[:3, 3]) < 0.004, est
+
+
+def test_degenerate_finest_level_flags_failure():
+    """Conversely: a degenerate FINEST level must flag failure even when
+    coarser levels were healthy."""
+    pose = np.eye(4, dtype=np.float32)
+    prev_pts, prev_nrm = _pyramids(_render(np.eye(4, dtype=np.float32)))
+    curr_pts, curr_nrm = _pyramids(_render(pose))
+    prev_pts = list(prev_pts)
+    prev_nrm = list(prev_nrm)
+    prev_pts[0] = jnp.full_like(prev_pts[0], jnp.nan)
+    prev_nrm[0] = jnp.full_like(prev_nrm[0], jnp.nan)
+    res = icp.estimate_transform(CFG, list(curr_pts), list(curr_nrm), prev_pts, prev_nrm)
+    assert not bool(res.ok)
+
+
 def test_degenerate_input_flags_failure():
     # all-invalid frames: the 6x6 system is singular -> ok must be False and
     # the transform must stay finite (identity).

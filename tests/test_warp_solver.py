@@ -48,6 +48,9 @@ ORACLE_CFG = DynamicFusionConfig(
     # test_distributed_gn); its while_loop compiles slowly on the CPU test
     # backend, so the oracle scenarios use the equivalent direct solve
     solver_linear="direct",
+    # the oracle asserts exact-path f32 equivalences (rtol 1e-4); the int8
+    # JtJ path has its own parity test with a quantization-scale tolerance
+    solver_jtj_int8=False,
 )
 
 
@@ -223,6 +226,34 @@ def test_edge_system_blockwise_matches_dense_rows():
 
     np.testing.assert_allclose(np.asarray(jtj), jtj_ref, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(jtr), jtr_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_int8_jtj_close_to_f32():
+    """The shipping int8-quantized JtJ assembly (data + edge terms) must
+    match the f32 assembly within the quantization bound: per-entry error
+    <= ~(0.5/127)*(c_i*c_j) row-count-accumulated, i.e. ~1e-2 relative of
+    the column-max products. Jtr is exact (f32) on both paths."""
+    cfg8 = dataclasses.replace(ORACLE_CFG, solver_jtj_int8=True)
+    field = _cube_field()
+    rng = np.random.default_rng(12)
+    can = rng.uniform(-0.9, 0.9, (200, 3)).astype(np.float32)
+    live = can + rng.normal(scale=0.02, size=can.shape).astype(np.float32)
+    inputs = warp_solver.WarpSolveInputs(
+        p_can=jnp.asarray(can), n_can=jnp.zeros_like(can),
+        p_live=jnp.asarray(live), n_live=jnp.zeros_like(can),
+    )
+    s = warp_solver.prepare(ORACLE_CFG, field, inputs, False)
+    n_nodes = field.positions.shape[0]
+
+    jtj8, jtr8 = warp_solver.gn_system_dense(cfg8, s, field.dq, n_nodes, False)
+    jtjf, jtrf = warp_solver.gn_system_dense(ORACLE_CFG, s, field.dq, n_nodes, False)
+
+    # quantization-appropriate bound: relative to the column-scale products
+    scale = np.sqrt(np.maximum(np.diag(np.asarray(jtjf)), 1e-12))
+    bound = 2e-2 * np.outer(scale, scale) + 1e-6
+    assert np.all(np.abs(np.asarray(jtj8) - np.asarray(jtjf)) <= bound)
+    # Jtr identical on both paths (never quantized)
+    np.testing.assert_allclose(np.asarray(jtr8), np.asarray(jtrf), rtol=1e-5, atol=1e-8)
 
 
 class TestLinearSolvers:

@@ -19,7 +19,11 @@ CUBE = np.array(
 
 
 def _cube_field():
-    cfg = DynamicFusionConfig(volume_dims=64, max_nodes=16, node_sample_step=1)
+    # node_radius at the cube's +-1 geometric scale (the reference oracle's
+    # FIXME dg_w = 3.0); the tuned default 0.05 m is for metric scenes
+    cfg = DynamicFusionConfig(
+        volume_dims=64, max_nodes=16, node_sample_step=1, node_radius=3.0
+    )
     return warpfield.init_from_cloud(cfg, jnp.asarray(CUBE), jnp.ones(8, bool))
 
 
@@ -58,7 +62,7 @@ def test_weighting_formula():
     d2 = jnp.array([[0.5, 1.0]])
     idx = jnp.array([[0, 1]])
     w = np.asarray(warpfield.weights_from_dist2(f, d2, idx))
-    r = CFG.node_radius
+    r = float(f.radius[0])
     np.testing.assert_allclose(w, np.exp(-np.array([[0.5, 1.0]]) / (2 * r * r)), rtol=1e-6)
 
 
