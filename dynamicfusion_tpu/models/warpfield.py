@@ -128,6 +128,32 @@ def knn(
     return jnp.maximum(d2, 0.0), idx
 
 
+def nearest_dist2(field: WarpField, queries: jnp.ndarray, chunk: int = 16384) -> jnp.ndarray:
+    """Squared distance to the nearest active node, (P,). A plain min over
+    the distance matrix — no top_k (lax.top_k is the expensive part of knn
+    on TPU; the coverage test in insert_nodes needs only the distance)."""
+    p = queries.shape[0]
+    q = jnp.nan_to_num(queries)
+    pad = (-p) % chunk
+    qp = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)], axis=0)
+    qc = qp.reshape(-1, chunk, 3)
+    nodes = field.positions
+    n2 = jnp.sum(nodes * nodes, axis=-1)
+    inactive = jnp.where(field.active, 0.0, _BIG)
+
+    def one_chunk(qi):
+        d2 = (
+            jnp.sum(qi * qi, axis=-1, keepdims=True)
+            - 2.0 * qi @ nodes.T
+            + n2[None, :]
+            + inactive[None, :]
+        )
+        return jnp.min(d2, axis=-1)
+
+    d2 = jax.lax.map(one_chunk, qc).reshape(-1)[:p]
+    return jnp.maximum(d2, 0.0)
+
+
 def weights_from_dist2(field: WarpField, dist2: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blending weights w_i = exp(-d_i^2 / (2 dg_w_i^2))
     (WarpField::weighting, warp_field.cpp:238-241). Weights of inactive
@@ -188,8 +214,8 @@ def insert_nodes(
     cov = cfg.node_coverage
     cap = field.positions.shape[0]
 
-    d2, _ = knn(field, candidates, 1)
-    uncovered = valid & (d2[:, 0] > cov * cov)
+    d2 = nearest_dist2(field, candidates)
+    uncovered = valid & (d2 > cov * cov)
 
     # coverage-cell decimation: unique cell ids, first occurrence
     cell = jnp.floor(jnp.nan_to_num(candidates) / cov).astype(jnp.int32)
@@ -207,7 +233,7 @@ def insert_nodes(
     new_pos = jnp.take(candidates, jnp.maximum(sel, 0), axis=0)
 
     # seed the new node's transform from the current field at its position
-    seed_dq = warp_dq_at(field, new_pos, k=min(8, cap))
+    seed_dq = warp_dq_at(field, new_pos, k=min(8, cap), method=cfg.knn_method)
     slots = field.count + jnp.cumsum(ok.astype(jnp.int32)) - 1
     slots = jnp.where(ok, slots, cap)  # sentinel: masked out below
 

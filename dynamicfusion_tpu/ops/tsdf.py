@@ -381,11 +381,15 @@ def raycast(
     found, t_hit, dt_hit = st["found"], st["t_hit"], st["dt_hit"]
 
     # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt.
-    # NOTE: a cheaper variant (reusing the march's nearest-neighbor bracket
-    # values + extra Newton steps) was tried and REJECTED: at grazing
-    # incidence the ray-direction TSDF derivative vanishes, so Newton can't
-    # recover the coarse start — plane vertices bias along rays and rigid
-    # tracking drifts (tests/test_rigid_mode.py catches it).
+    # REJECTED cheaper variants (keep the 24-gather secant + polish):
+    # (1) nearest-bracket values + Newton — grazing-incidence plane bias
+    #     breaks rigid tracking (tests/test_rigid_mode.py catches it);
+    # (2) one fused value+gradient fetch at the bracket start + clamped
+    #     Newton (16 gathers) — the bracket start often sits on the TSDF's
+    #     clamped +-1 plateau where the LOCAL in-cell gradient is ~0, so
+    #     Newton clamps to the far bracket end; measured 2.14 -> 3.00 mm
+    #     median on the deforming-sphere quality bench. The secant's
+    #     average slope over the bracket is immune to the plateau.
     p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
     p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
     ft = interpolate(tsdf, p_curr)
@@ -399,7 +403,7 @@ def raycast(
         grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
         normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
     else:
-        # one fused fetch: value for a Newton polish of the crossing
+        # second fused fetch: Newton polish of the crossing
         # (better-than-reference sub-step accuracy for free) + the in-cell
         # gradient for the normal
         f_v, normal_vol = interpolate_with_gradient(tsdf, vertex_vol * inv_vs)

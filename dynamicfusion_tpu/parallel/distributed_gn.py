@@ -89,21 +89,46 @@ def make_sharded_system(
         shard_map,
         mesh=mesh,
         in_specs=(specs, P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )
     def system(s_local: SolveStructure, dqs: jnp.ndarray):
-        jtj_d, jtr_d = warp_solver.data_system(
+        jtj_d, jtr_d, cost_d = warp_solver.data_system(
             cfg, s_local, dqs, n_nodes, point_to_plane,
             col_scale_reduce=lambda m: jax.lax.pmax(m, axis),
         )
-        jtj_d = jax.lax.psum(jtj_d, axis)       # the Schur reduction (ICI)
-        jtr_d = jax.lax.psum(jtr_d, axis)
+        # the Schur reduction (ICI): JtJ, Jtr, and the scalar cost ride the
+        # same all-reduce round
+        jtj_d, jtr_d, cost_d = jax.lax.psum((jtj_d, jtr_d, cost_d), axis)
         # edge system is replicated node-space work (identical on every
         # device; E = N*k_edge is tiny next to the data shard)
-        jtj_e, jtr_e = warp_solver.edge_system(cfg, s_local, dqs, n_nodes)
-        return jtj_d + jtj_e, jtr_d + jtr_e
+        jtj_e, jtr_e, cost_e = warp_solver.edge_system(cfg, s_local, dqs, n_nodes)
+        return jtj_d + jtj_e, jtr_d + jtr_e, cost_d + cost_e
 
     return system
+
+
+def make_system_fn(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    n_nodes: int,
+    point_to_plane: bool,
+    axis: str = "d",
+):
+    """``system_fn(s, dqs)`` for warp_solver.solve that pads the point set
+    to the mesh, lays it out over the axis, and assembles through the
+    explicit shard_map+psum Schur reduction — the hook the sharded pipeline
+    step plugs into kinfu.step (and solve_distributed uses directly)."""
+    n_dev = mesh.shape[axis]
+    sys_fn = make_sharded_system(cfg, mesh, n_nodes, point_to_plane, axis)
+
+    def system_fn(s: SolveStructure, dqs: jnp.ndarray):
+        s = _pad_points(s, n_dev)
+        s = jax.lax.with_sharding_constraint(
+            s, jax.tree.map(lambda sp: NamedSharding(mesh, sp), structure_specs(axis))
+        )
+        return sys_fn(s, dqs)
+
+    return system_fn
 
 
 def solve_distributed(
@@ -122,17 +147,8 @@ def solve_distributed(
     structure is re-laid-out here either way)."""
     if point_to_plane is None:
         point_to_plane = cfg.point_to_plane
-    n_dev = mesh.shape[axis]
     n_nodes = field.positions.shape[0]
-    sys_fn = make_sharded_system(cfg, mesh, n_nodes, point_to_plane, axis)
-
-    def system_fn(s: SolveStructure, dqs: jnp.ndarray):
-        s = _pad_points(s, n_dev)
-        s = jax.lax.with_sharding_constraint(
-            s, jax.tree.map(lambda sp: NamedSharding(mesh, sp), structure_specs(axis))
-        )
-        return sys_fn(s, dqs)
-
+    system_fn = make_system_fn(cfg, mesh, n_nodes, point_to_plane, axis)
     return warp_solver.solve(
         cfg, field, inputs, point_to_plane=point_to_plane, system_fn=system_fn
     )

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynamicfusion_tpu.config import DynamicFusionConfig
+from dynamicfusion_tpu.parallel import distributed_gn
 from dynamicfusion_tpu.pipeline import kinfu
 
 
@@ -51,16 +52,38 @@ def shard_state(cfg: DynamicFusionConfig, mesh: Mesh, state: kinfu.PipelineState
     return jax.device_put(state, state_shardings(cfg, mesh))
 
 
-def make_sharded_step(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
+def make_sharded_step(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    axis: str = "d",
+    explicit_gn: bool = True,
+):
     """jit the full frame step with volume/pixel shardings. XLA SPMD
-    partitions the voxel-local ops, inserts halo exchanges for the stencil
-    and trilinear reads, and all-reduces the ICP 6x6 and warp-solver
-    (6N,6N) normal equations — the distributed GN reduction."""
+    partitions the voxel-local ops and inserts halo exchanges for the
+    stencil and trilinear reads; the warp solver's (6N,6N) normal
+    equations go through the EXPLICIT shard_map+psum Schur assembly
+    (parallel.distributed_gn.make_system_fn — one all-reduce round per
+    relinearization over ICI) rather than whatever GSPMD infers; pass
+    explicit_gn=False to compare against the pure-GSPMD solve.
+
+    The depth input is REPLICATED (one ~1.2 MB broadcast per frame):
+    per-pixel preprocessing is trivial next to the sharded volume work, and
+    row-sharding it forces SPMD to reshard the depth min/max mip pyramid's
+    degenerate coarse levels through reduce_window ops it can only handle
+    by full rematerialization (the "[SPMD] Involuntary full
+    rematerialization" warnings of round 1)."""
     ss = state_shardings(cfg, mesh, axis)
-    depth_s = NamedSharding(mesh, P(axis, None))
+    depth_s = NamedSharding(mesh, P())
+    system_fn = (
+        distributed_gn.make_system_fn(
+            cfg, mesh, cfg.max_nodes, cfg.point_to_plane, axis
+        )
+        if explicit_gn and not cfg.rigid_only
+        else None
+    )
 
     def _step(state, depth):
-        state, out = kinfu.step(cfg, state, depth)
+        state, out = kinfu.step(cfg, state, depth, warp_system_fn=system_fn)
         return state, out
 
     return jax.jit(_step, in_shardings=(ss, depth_s), out_shardings=(ss, None))
@@ -68,7 +91,7 @@ def make_sharded_step(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
 
 def make_sharded_first_frame(cfg: DynamicFusionConfig, mesh: Mesh, axis: str = "d"):
     ss = state_shardings(cfg, mesh, axis)
-    depth_s = NamedSharding(mesh, P(axis, None))
+    depth_s = NamedSharding(mesh, P())
     return jax.jit(
         lambda state, depth: kinfu.first_frame(cfg, state, depth),
         in_shardings=(ss, depth_s),

@@ -204,9 +204,18 @@ def first_frame(cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.nd
 
 
 def step(
-    cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.ndarray
+    cfg: DynamicFusionConfig,
+    state: PipelineState,
+    depth_mm: jnp.ndarray,
+    warp_system_fn=None,
 ) -> Tuple[PipelineState, StepOutputs]:
-    """One full DynamicFusion frame (KinFu::operator() + dynamicfusion())."""
+    """One full DynamicFusion frame (KinFu::operator() + dynamicfusion()).
+
+    ``warp_system_fn``: optional normal-equation assembly override for the
+    warp solve (warp_solver.solve's system_fn) — the sharded pipeline step
+    passes parallel.distributed_gn.make_system_fn here so the GN assembly
+    runs through the explicit shard_map+psum Schur reduction instead of
+    whatever GSPMD infers."""
     shift = cfg.raycast_shift
     stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
 
@@ -332,7 +341,9 @@ def step(
         )
 
     # ---- 4. non-rigid warp-field solve ----
-    warp, stats = warp_solver.solve(cfg, state.warp, inputs)
+    warp, stats = warp_solver.solve(
+        cfg, state.warp, inputs, system_fn=warp_system_fn
+    )
     if cfg.solver_remove_net_rigid:
         # optional belt-and-suspenders gauge anchor (off by default: the
         # rigid prealign above prevents absorption at the source, and full

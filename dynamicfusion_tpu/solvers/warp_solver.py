@@ -220,10 +220,12 @@ def data_residual_and_jac(
     point_to_plane: bool,
 ):
     """Data-term residuals and explicit per-point Jacobians at eps=0, IRLS
-    Tukey sqrt-weights folded in. Touches only the point fields of ``s``
+    Tukey sqrt-weights folded in — plus the TRUE robust data cost (Tukey
+    rho of the raw residuals) at the linearization point, for free from the
+    residuals already in hand. Touches only the point fields of ``s``
     (so it runs unchanged on a point shard inside shard_map — the basis of
     the distributed GN in parallel/distributed_gn.py). Returns
-    (r (P, rd), jac (P, rd, K, 6))."""
+    (r (P, rd), jac (P, rd, K, 6), cost ())."""
     k = cfg.knn_k
     dq_k = jnp.take(dqs, s.knn_idx, axis=0)  # (P, K, 8)
 
@@ -246,12 +248,18 @@ def data_residual_and_jac(
     # instead of K*6 = 48 forward tangents — ~10x cheaper Jacobians
     jac = jax.vmap(jax.jacrev(fn))(eps_k0, *args)         # (P, res_dim, K, 6)
 
-    sw = tukey_sqrt_weight(
-        jnp.linalg.norm(r, axis=-1), cfg.solver_tukey_c
-    ) * s.valid
+    rn = jnp.linalg.norm(r, axis=-1)
+    sw = tukey_sqrt_weight(rn, cfg.solver_tukey_c) * s.valid
+    # true robust cost at the linearization point (Tukey rho, cost_at math)
+    c = cfg.solver_tukey_c
+    x2 = (rn / c) ** 2
+    rho = jnp.where(
+        x2 <= 1.0, (c * c / 6.0) * (1.0 - (1.0 - x2) ** 3), c * c / 6.0
+    )
+    cost = jnp.sum(rho * s.valid)
     r = r * sw[:, None]
     jac = jac * sw[:, None, None, None]
-    return r, jac
+    return r, jac, cost
 
 
 def edge_residual_and_jac(
@@ -260,7 +268,9 @@ def edge_residual_and_jac(
     dqs: jnp.ndarray,
 ):
     """ARAP edge residuals and Jacobians at eps=0, Huber sqrt-weights and
-    edge weights folded in. Returns (re (E,3), je_i (E,3,6), je_j (E,3,6))."""
+    edge weights folded in — plus the true robust edge cost (Huber rho,
+    lambda*alpha-weighted) at the linearization point. Returns
+    (re (E,3), je_i (E,3,6), je_j (E,3,6), cost ())."""
     lam = cfg.solver_arap_weight
     # anchored zeros — see the toolchain note in data_residual_and_jac
     e_zero = jnp.broadcast_to(
@@ -273,15 +283,19 @@ def edge_residual_and_jac(
         e_zero, dq_i, e_zero, dq_j, s.v_dst
     )  # tuple of (E, 3, 6)
 
+    ren = jnp.linalg.norm(re, axis=-1)
     swe = (
-        huber_sqrt_weight(jnp.linalg.norm(re, axis=-1), cfg.solver_huber_delta)
+        huber_sqrt_weight(ren, cfg.solver_huber_delta)
         * s.e_valid
         * jnp.sqrt(lam * s.alpha)
     )
+    d = cfg.solver_huber_delta
+    rho_e = jnp.where(ren <= d, 0.5 * ren * ren, d * (ren - 0.5 * d))
+    cost = jnp.sum(rho_e * s.e_valid * lam * s.alpha)
     re = re * swe[:, None]
     je_i = je[0] * swe[:, None, None]
     je_j = je[1] * swe[:, None, None]
-    return re, je_i, je_j
+    return re, je_i, je_j, cost
 
 
 def residual_and_jac(
@@ -291,8 +305,8 @@ def residual_and_jac(
     point_to_plane: bool,
 ):
     """Residuals and Jacobians for both terms (back-compat wrapper)."""
-    r, jac = data_residual_and_jac(cfg, s, dqs, point_to_plane)
-    re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
+    r, jac, _ = data_residual_and_jac(cfg, s, dqs, point_to_plane)
+    re, je_i, je_j, _ = edge_residual_and_jac(cfg, s, dqs)
     return r, jac, re, je_i, je_j
 
 
@@ -341,7 +355,9 @@ def gn_system_dense(
     point_to_plane: bool,
 ):
     """Linearize at eps=0 and assemble the DENSE normal equations
-    JtJ (6N, 6N), Jtr (6N).
+    JtJ (6N, 6N), Jtr (6N), plus the true robust cost at the linearization
+    point (so the LM loop never pays a separate cost_at for a point it has
+    already linearized).
 
     TPU note: scatter-add over node ids (the CUDA-natural assembly) is
     pathologically slow on TPU (serialized on duplicate indices), so the
@@ -352,9 +368,9 @@ def gn_system_dense(
     formulation measured on TPU v5e. Materializing the full row matrix
     (P/hs + 3E, 6N) bf16 once beats the earlier chunked lax.scan, whose
     (6N,6N) f32 carry paid 151 MB of read+write per chunk."""
-    jtj, jtr = data_system(cfg, s, dqs, n_nodes, point_to_plane)
-    jtj_e, jtr_e = edge_system(cfg, s, dqs, n_nodes)
-    return jtj + jtj_e, jtr + jtr_e
+    jtj, jtr, cost_d = data_system(cfg, s, dqs, n_nodes, point_to_plane)
+    jtj_e, jtr_e, cost_e = edge_system(cfg, s, dqs, n_nodes)
+    return jtj + jtj_e, jtr + jtr_e, cost_d + cost_e
 
 
 def data_system(
@@ -373,9 +389,12 @@ def data_system(
     |A| maxima across shards BEFORE int8 quantization — the distributed
     assembly passes a pmax so every shard quantizes with the same global
     scales and the psum of shard Grams equals the single-device int8
-    assembly exactly (diag(c) (sum_s Qs^T Qs) diag(c))."""
+    assembly exactly (diag(c) (sum_s Qs^T Qs) diag(c)).
+
+    Returns (jtj, jtr, cost): the data-term robust cost at the
+    linearization point rides along (shards psum it like jtr)."""
     dof = 6 * n_nodes
-    r, jac = data_residual_and_jac(cfg, s, dqs, point_to_plane)
+    r, jac, cost = data_residual_and_jac(cfg, s, dqs, point_to_plane)
 
     # ---- JtJ: one syrk over bf16 one-hot-expanded rows ----
     # The Hessian is only a step model — LM accept/reject uses the exact
@@ -419,7 +438,7 @@ def data_system(
         jnp.einsum("pkn,pkd->nd", oh, hi, preferred_element_type=jnp.float32)
         + jnp.einsum("pkn,pkd->nd", oh, lo, preferred_element_type=jnp.float32)
     ).reshape(-1)
-    return jtj, jtr
+    return jtj, jtr, cost
 
 
 def edge_system(
@@ -429,70 +448,59 @@ def edge_system(
     n_nodes: int,
 ):
     """ARAP edge contribution to the normal equations (small: E = N*k_edge
-    edges; replicated in the distributed solve).
+    edges; replicated in the distributed solve), assembled BLOCKWISE in f32.
 
-    Default path (solver_jtj_int8=True): expanded-row int8 syrk — each edge
-    residual row carries two 6-dof blocks (cols i and j) and R^T R on the
-    (3E, 6N) int8 row matrix runs at the int8 MXU rate (~2 ms at bench
-    shape). Fallback (int8 off, used by the f32 oracle tests): BLOCKWISE
-    assembly — each edge (i, j) contributes exactly four 6x6 blocks,
+    Each edge (i, j) contributes exactly four 6x6 blocks to JtJ:
     (i,i) += Ji^T Ji, (i,j) += Ji^T Jj, (j,i) += its transpose,
-    (j,j) += Jj^T Jj, placed via build_edges' static source structure
-    (e_src = repeat(arange(N), k_edge)). In bf16/f32 the expanded-row syrk
-    cost ~9 ms and lost to blockwise (~3e8 FLOPs of small batched matmuls);
-    at the int8 rate the order flips (~2 ms vs ~16 ms of (N,M,6,6)
-    materialization+transposes measured on v5e)."""
+    (j,j) += Jj^T Jj. The per-edge blocks are ~5 MFLOP of small batched
+    matmuls; block PLACEMENT into the (6N, 6N) matrix is where naive
+    formulations die on TPU, so every placement is an einsum whose OUTPUT
+    index order is already the final (n, a, m, b) layout — the (j,i)
+    transpose and the diagonal embed included — so XLA emits no separate
+    transpose or scatter of the 151 MB full matrix. Measured on v5e at
+    N=1024/E=4096: ~2 ms vs 22 ms for the int8 expanded-row syrk of the
+    (3E, 6N) row matrix (whose expansion materializes ~1 GB of one-hot
+    outer products; int8 only pays off for the data term's P >> E rows)
+    and ~16 ms for the transpose+at[].add blockwise variant.
+
+    Returns (jtj, jtr, cost) like data_system."""
     dof = 6 * n_nodes
-    re, je_i, je_j = edge_residual_and_jac(cfg, s, dqs)
+    re, je_i, je_j, cost = edge_residual_and_jac(cfg, s, dqs)
     e = s.e_src.shape[0]
     c = e // n_nodes  # k_edge: e_src = repeat(arange(N), c) by construction
     oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)  # (E, N)
 
-    if cfg.solver_jtj_int8:
-        # Expanded-row int8 syrk: each edge residual row carries two 6-dof
-        # blocks (cols i and j); R^T R on the (3E, 6N) row matrix IS the
-        # four-block-per-edge sum the blockwise path scattered by hand.
-        # In bf16 this formulation lost to blockwise (~9 ms syrk); at the
-        # int8 MXU rate it wins outright (~2 ms vs ~16 ms of blockwise
-        # (N,M,6,6) materialization+transposes measured on v5e). Per-column
-        # scales factor exactly through the syrk; ARAP rows get their own
-        # scales (they are ~sqrt(lambda*alpha) larger than data rows).
-        oh_s = jax.nn.one_hot(s.e_src, n_nodes, dtype=jnp.bfloat16)
-        a_e = (
-            jnp.einsum("en,erd->ernd", oh_s, je_i.astype(jnp.bfloat16))
-            + jnp.einsum(
-                "en,erd->ernd",
-                oh_d.astype(jnp.bfloat16),
-                je_j.astype(jnp.bfloat16),
-            )
-        ).reshape(-1, dof).astype(jnp.float32)
-        cs = jnp.maximum(jnp.max(jnp.abs(a_e), axis=0), 1e-12) / 127.0
-        q = jnp.clip(jnp.round(a_e / cs), -127.0, 127.0).astype(jnp.int8)
-        g = jnp.dot(q.T, q, preferred_element_type=jnp.int32)
-        jtj = g.astype(jnp.float32) * (cs[:, None] * cs[None, :])
-    else:
-        h_ii = jnp.einsum("era,erb->eab", je_i, je_i)  # (E, 6, 6)
-        h_jj = jnp.einsum("era,erb->eab", je_j, je_j)
-        h_ij = jnp.einsum("era,erb->eab", je_i, je_j)
+    hi = jax.lax.Precision.HIGHEST  # f32-exact one-hot placement (cheap)
+    h_ii = jnp.einsum("era,erb->eab", je_i, je_i, precision=hi)  # (E, 6, 6)
+    h_jj = jnp.einsum("era,erb->eab", je_j, je_j, precision=hi)
+    h_ij = jnp.einsum("era,erb->eab", je_i, je_j, precision=hi)
 
-        # diagonal blocks: ii lands on the (static) source rows; jj scatters
-        # to dst via a one-hot matmul (302 MFLOP at bench shape)
-        diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1)
-        diag = diag + jnp.einsum(
-            "en,eab->nab", oh_d, h_jj, preferred_element_type=jnp.float32
-        )
+    # diagonal blocks: ii lands on the (static) source rows; jj scatters
+    # to dst via a one-hot matmul (302 MFLOP at bench shape)
+    diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1)
+    diag = diag + jnp.einsum(
+        "en,eab->nab", oh_d, h_jj, precision=hi,
+        preferred_element_type=jnp.float32,
+    )
 
-        # off-diagonal (i, j) blocks: batched per source row over its c edges
-        oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
-        off = jnp.einsum(
-            "ncm,ncab->nmab", oh_dr, h_ij.reshape(n_nodes, c, 6, 6),
-            preferred_element_type=jnp.float32,
-        )  # (N, M, 6, 6): block (i, j)
-
-        full = off.transpose(0, 2, 1, 3) + off.transpose(1, 3, 0, 2)  # +(j,i)^T
-        ar = jnp.arange(n_nodes)
-        full = full.at[ar, :, ar, :].add(diag)
-        jtj = full.reshape(dof, dof)
+    # off-diagonal blocks, placed DIRECTLY in the final (n, a, m, b)
+    # layout: (i,j) and its (j,i) transpose are the same einsum with
+    # permuted output indices; the diagonal embeds via an eye one-hot
+    oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
+    hij_r = h_ij.reshape(n_nodes, c, 6, 6)
+    full = jnp.einsum(
+        "ncm,ncab->namb", oh_dr, hij_r, precision=hi,
+        preferred_element_type=jnp.float32,
+    )
+    full = full + jnp.einsum(
+        "ncm,ncab->mbna", oh_dr, hij_r, precision=hi,
+        preferred_element_type=jnp.float32,
+    )
+    full = full + jnp.einsum(
+        "nm,nab->namb", jnp.eye(n_nodes, dtype=jnp.float32), diag,
+        precision=hi,
+    )
+    jtj = full.reshape(dof, dof)
 
     # edge gradient in f32: source side static-structured, dst via one-hot
     g_i = jnp.einsum("erd,er->ed", je_i, re)  # (E, 6)
@@ -503,7 +511,7 @@ def edge_system(
             "en,ed->nd", oh_d, g_j, precision=jax.lax.Precision.HIGHEST
         )
     ).reshape(-1)
-    return jtj, jtr
+    return jtj, jtr, cost
 
 
 # --------------------------------------------------------------------------
@@ -663,9 +671,11 @@ def solve(
     solver schedule of kinfu.cpp:114-121 (cfg.solver_nonlinear_iters outer
     LM steps).
 
-    ``system_fn(s, dqs) -> (jtj, jtr)`` overrides the normal-equation
+    ``system_fn(s, dqs) -> (jtj, jtr, cost)`` overrides the normal-equation
     assembly (the distributed shard_map+psum assembly in
-    parallel/distributed_gn.py plugs in here)."""
+    parallel/distributed_gn.py plugs in here); ``cost`` is the true robust
+    cost at the linearization point (the relinearization's residuals make
+    it free — no separate initial cost_at)."""
     if point_to_plane is None:
         point_to_plane = cfg.point_to_plane
     n_nodes = field.positions.shape[0]
@@ -673,12 +683,10 @@ def solve(
 
     s = prepare(cfg, field, inputs, point_to_plane)
 
-    # ---- outer LM loop (static unroll) ----
+    # ---- outer LM loop ----
     dqs = field.dq
     lm_lambda = jnp.asarray(cfg.solver_lm_lambda_init, jnp.float32)
-    cost0 = cost_at(cfg, s, dqs, point_to_plane)
     accepted = jnp.zeros((), jnp.int32)
-    cost_prev = cost0
 
     active_dof = jnp.repeat(field.active, 6)
 
@@ -699,12 +707,16 @@ def solve(
         )
 
     def lm_iteration(st):
-        it, dqs, lm_lambda, cost_prev, accepted, jtj, jtr, need_relin, _ = st
-        jtj, jtr = jax.lax.cond(
+        it, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, need_relin, _ = st
+        jtj, jtr, cost_lin = jax.lax.cond(
             need_relin,
             lambda dqs=dqs: system_fn(s, dqs),
-            lambda: (jtj, jtr),
+            lambda: (jtj, jtr, cost_prev),
         )
+        # the relinearization's cost IS the cost at the current point (on
+        # iteration 0 it is the solve's initial cost)
+        cost_prev = cost_lin
+        cost0 = jnp.where(it == 0, cost_lin, cost0)
         # LM damping on the diagonal + unit diagonal for inactive/empty dofs.
         # The damping floor (a fraction of the mean active diagonal) keeps
         # weakly-observed nodes — a handful of Tukey-weighted points for 6
@@ -746,7 +758,7 @@ def solve(
         converged = better & (
             improvement <= cfg.solver_function_tolerance * jnp.maximum(cost_prev, 1e-20)
         )
-        return (it + 1, dqs, lm_lambda, cost_prev, accepted, jtj, jtr, better, converged)
+        return (it + 1, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, better, converged)
 
     # while_loop (not an unrolled cond chain): same early-exit semantics,
     # one compiled body. NB an unrolled chain of lax.cond(converged, ...)
@@ -755,12 +767,13 @@ def solve(
     def lm_cond(st):
         return (st[0] < cfg.solver_nonlinear_iters) & ~st[-1]
 
+    zero = jnp.zeros(())
     st = (
-        jnp.zeros((), jnp.int32), dqs, lm_lambda, cost_prev, accepted,
+        jnp.zeros((), jnp.int32), dqs, lm_lambda, zero, zero, accepted,
         jtj, jtr, jnp.array(True), jnp.array(False),
     )
     st = jax.lax.while_loop(lm_cond, lm_iteration, st)
-    dqs, lm_lambda, cost_prev, accepted = st[1], st[2], st[3], st[4]
+    dqs, lm_lambda, cost_prev, cost0, accepted = st[1], st[2], st[3], st[4], st[5]
 
     new_field = field._replace(dq=jnp.where(field.active[:, None], dqs, field.dq))
     return new_field, SolveStats(

@@ -35,6 +35,6 @@ def bench(name, f, *args):
     print(f"{name:24s} {(time.perf_counter()-t0)/N*1e3:8.2f} ms")
 
 dqs = field.dq
-bench("data_system", lambda s_, d_: ws.data_system(cfg, s_, d_, n, True), s, dqs)
-bench("edge_system", lambda s_, d_: ws.edge_system(cfg, s_, d_, n), s, dqs)
-bench("gn_system_dense", lambda s_, d_: ws.gn_system_dense(cfg, s_, d_, n, True), s, dqs)
+bench("data_system", lambda s_, d_: ws.data_system(cfg, s_, d_, n, True)[:2], s, dqs)
+bench("edge_system", lambda s_, d_: ws.edge_system(cfg, s_, d_, n)[:2], s, dqs)
+bench("gn_system_dense", lambda s_, d_: ws.gn_system_dense(cfg, s_, d_, n, True)[:2], s, dqs)

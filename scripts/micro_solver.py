@@ -79,25 +79,25 @@ def main():
 
     @jax.jit
     def f_data(s, dqs):
-        jtj, jtr = warp_solver.data_system(cfg, s_struct, perturb(dqs, s), n_nodes, p2pl)
+        jtj, jtr, _ = warp_solver.data_system(cfg, s_struct, perturb(dqs, s), n_nodes, p2pl)
         return jnp.sum(jtj[::256, ::256]) + jnp.sum(jtr[::97])
 
     @jax.jit
     def f_edge(s, dqs):
-        jtj, jtr = warp_solver.edge_system(cfg, s_struct, perturb(dqs, s), n_nodes)
+        jtj, jtr, _ = warp_solver.edge_system(cfg, s_struct, perturb(dqs, s), n_nodes)
         return jnp.sum(jtj[::256, ::256]) + jnp.sum(jtr[::97])
 
     @jax.jit
     def f_full(s, dqs):
-        jtj, jtr = warp_solver.gn_system_dense(cfg, s_struct, perturb(dqs, s), n_nodes, p2pl)
+        jtj, jtr, _ = warp_solver.gn_system_dense(cfg, s_struct, perturb(dqs, s), n_nodes, p2pl)
         return jnp.sum(jtj[::256, ::256]) + jnp.sum(jtr[::97])
 
     @jax.jit
     def f_rj(s, dqs):
-        r, jac = warp_solver.data_residual_and_jac(cfg, s_struct, perturb(dqs, s), p2pl)
+        r, jac, _ = warp_solver.data_residual_and_jac(cfg, s_struct, perturb(dqs, s), p2pl)
         return jnp.sum(r[::512]) + jnp.sum(jac[::997])
 
-    jtj0, jtr0 = jax.jit(
+    jtj0, jtr0, _ = jax.jit(
         lambda dqs: warp_solver.gn_system_dense(cfg, s_struct, dqs, n_nodes, p2pl)
     )(field.dq)
     jtj0 = jtj0 + 1e-3 * jnp.eye(6 * n_nodes)

@@ -185,7 +185,7 @@ def main():
     def mk_asm():
         @jax.jit
         def f(s, dqs):
-            jtj, jtr = warp_solver.gn_system_dense(
+            jtj, jtr, _ = warp_solver.gn_system_dense(
                 cfg, struct, perturb(dqs, s), cfg.max_nodes, p2pl)
             return jnp.sum(jtj[::256, ::256]) + jnp.sum(jtr[::256])
         return f, (warp.dq,)

@@ -74,13 +74,16 @@ class TestShardedSystem:
         s = warp_solver.prepare(CFG, field, inputs, False)
         n_nodes = field.positions.shape[0]
 
-        jtj_ref, jtr_ref = jax.jit(
+        jtj_ref, jtr_ref, cost_ref = jax.jit(
             lambda s, d: warp_solver.gn_system_dense(CFG, s, d, n_nodes, False)
         )(s, field.dq)
 
         sys_fn = distributed_gn.make_sharded_system(CFG, mesh, n_nodes, False)
         s_pad = distributed_gn._pad_points(s, 8)
-        jtj_d, jtr_d = jax.jit(sys_fn)(s_pad, field.dq)
+        jtj_d, jtr_d, cost_d = jax.jit(sys_fn)(s_pad, field.dq)
+        np.testing.assert_allclose(
+            float(cost_d), float(cost_ref), rtol=1e-5, atol=1e-8
+        )
 
         np.testing.assert_allclose(
             np.asarray(jtj_d), np.asarray(jtj_ref), rtol=1e-3, atol=1e-5
@@ -96,9 +99,9 @@ class TestShardedSystem:
         s_pad = distributed_gn._pad_points(s, 8)
         assert s_pad.p_can.shape[0] == 40
         n_nodes = field.positions.shape[0]
-        jtj_ref, jtr_ref = warp_solver.gn_system_dense(CFG, s, field.dq, n_nodes, False)
+        jtj_ref, jtr_ref, _ = warp_solver.gn_system_dense(CFG, s, field.dq, n_nodes, False)
         sys_fn = distributed_gn.make_sharded_system(CFG, mesh, n_nodes, False)
-        jtj_d, jtr_d = jax.jit(sys_fn)(s_pad, field.dq)
+        jtj_d, jtr_d, _ = jax.jit(sys_fn)(s_pad, field.dq)
         np.testing.assert_allclose(
             np.asarray(jtj_d), np.asarray(jtj_ref), rtol=1e-3, atol=1e-5
         )

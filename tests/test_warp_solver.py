@@ -212,9 +212,9 @@ def test_edge_system_blockwise_matches_dense_rows():
     n_nodes = field.positions.shape[0]
     dqs = field.dq
 
-    jtj, jtr = warp_solver.edge_system(ORACLE_CFG, s, dqs, n_nodes)
+    jtj, jtr, _ = warp_solver.edge_system(ORACLE_CFG, s, dqs, n_nodes)
 
-    re, je_i, je_j = warp_solver.edge_residual_and_jac(ORACLE_CFG, s, dqs)
+    re, je_i, je_j, _ = warp_solver.edge_residual_and_jac(ORACLE_CFG, s, dqs)
     oh_i = np.eye(n_nodes, dtype=np.float32)[np.asarray(s.e_src)]
     oh_j = np.eye(n_nodes, dtype=np.float32)[np.asarray(s.e_dst)]
     ae = (
@@ -245,8 +245,8 @@ def test_int8_jtj_close_to_f32():
     s = warp_solver.prepare(ORACLE_CFG, field, inputs, False)
     n_nodes = field.positions.shape[0]
 
-    jtj8, jtr8 = warp_solver.gn_system_dense(cfg8, s, field.dq, n_nodes, False)
-    jtjf, jtrf = warp_solver.gn_system_dense(ORACLE_CFG, s, field.dq, n_nodes, False)
+    jtj8, jtr8, _ = warp_solver.gn_system_dense(cfg8, s, field.dq, n_nodes, False)
+    jtjf, jtrf, _ = warp_solver.gn_system_dense(ORACLE_CFG, s, field.dq, n_nodes, False)
 
     # quantization-appropriate bound: relative to the column-scale products
     scale = np.sqrt(np.maximum(np.diag(np.asarray(jtjf)), 1e-12))
