@@ -67,6 +67,12 @@ def main():
     ap.add_argument("--out", default=None, help="save rendered frames + artifacts here")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--show-warp", action="store_true",
+                    help="overlay the warp-field nodes on saved frames "
+                         "(the reference's 't' show_warp view, demo.cpp:65,108-114)")
+    ap.add_argument("--orbit", type=int, default=0, metavar="N",
+                    help="after the run, save N turntable renders of the "
+                         "canonical model from orbiting viewpoints")
     args = ap.parse_args()
     if not args.synthetic and not args.data_dir:
         ap.error("need a data dir or --synthetic N")
@@ -89,7 +95,11 @@ def main():
             df(jnp.asarray(depth, jnp.uint16))
             continue
         if args.out:
+            from dynamicfusion_tpu.pipeline import render as render_mod
+
             img = np.asarray(df.render(mode=3))
+            if args.show_warp and i > 0:
+                img = render_mod.overlay_nodes(cfg, img, df.state)
             from PIL import Image
 
             Image.fromarray(img).save(os.path.join(args.out, f"frame_{i:05d}.png"))
@@ -121,6 +131,24 @@ def main():
         checkpoint.save(os.path.join(args.out, "final_state.npz"), df.state)
         df.save_mesh(os.path.join(args.out, "canonical_mesh.ply"))
         df.save_mesh(os.path.join(args.out, "live_mesh.ply"), live=True)
+        if args.orbit > 0:
+            # turntable dump of the canonical model (renderImage-at-pose,
+            # kinfu.cpp:408-436 — the reference's interactive viz is a GUI;
+            # headless equivalent: dump orbiting viewpoints)
+            from PIL import Image
+
+            center = np.asarray(cfg.volume_origin) + cfg.volume_size / 2.0
+            for k in range(args.orbit):
+                a = 2.0 * np.pi * k / args.orbit
+                pose = synthetic.orbit_pose(a, target=center)
+                img = np.asarray(df.render(mode=3, pose=pose))
+                if args.show_warp:
+                    from dynamicfusion_tpu.pipeline import render as render_mod
+
+                    img = render_mod.overlay_nodes(cfg, img, df.state, pose=pose)
+                Image.fromarray(img).save(
+                    os.path.join(args.out, f"orbit_{k:03d}.png")
+                )
         print(f"saved canonical cloud + meshes + state to {args.out}")
 
 

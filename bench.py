@@ -97,6 +97,8 @@ def run_quality(cfg, args):
             spheres=[dict(center=(0.32, -0.18, 1.0), radius=0.1)], plane_z=1.3,
         )
         d = np.where((sphere > 0) & ((bg == 0) | (sphere < bg)), sphere, bg)
+        if args.noise:
+            d = synthetic.kinect_noise(d, cfg.intr, seed=t)
         df(jnp.asarray(d), block=False)
     _ = float(df.last_outputs.solver_cost1)
 
@@ -114,7 +116,8 @@ def run_quality(cfg, args):
     p95_mm = float(np.percentile(err, 95)) * 1000.0
     voxel_mm = cfg.voxel_size * 1000.0
     print(json.dumps({
-        "metric": "canonical_reconstruction_error_mm",
+        "metric": "canonical_reconstruction_error_mm"
+                  + ("_kinect_noise" if args.noise else ""),
         "value": round(med_mm, 3),
         "unit": "mm (median |surface - analytic|, deforming sphere)",
         "vs_baseline": round(voxel_mm / max(med_mm, 1e-6), 2),
@@ -139,6 +142,9 @@ def main():
     ap.add_argument("--quality", action="store_true",
                     help="report reconstruction error vs analytic ground truth "
                          "(deforming-sphere sequence; BASELINE config 3 parity check)")
+    ap.add_argument("--noise", action="store_true",
+                    help="with --quality: apply the Kinect sensor-noise model "
+                         "(io.synthetic.kinect_noise) to every input frame")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="override any DynamicFusionConfig field (repeatable); "
                          "values parsed as Python literals")

@@ -123,6 +123,144 @@ def scene_depth(
     return np.clip(z * 1000.0, 0, 65535).astype(np.uint16)
 
 
+def kinect_noise(
+    depth_mm: np.ndarray,
+    intr: Intrinsics,
+    seed: int = 0,
+    axial_k: float = 1.4e-3,
+    lateral_sigma_px: float = 0.5,
+    focal_baseline: float = 570.0 * 0.075,
+    disparity_step: float = 0.125,
+    grazing_start_deg: float = 70.0,
+    grazing_full_deg: float = 84.0,
+    speckle_dropout: float = 0.002,
+    edge_dropout_px: int = 1,
+) -> np.ndarray:
+    """Kinect-v1-class sensor noise applied to a clean synthetic depth map.
+
+    The reference's only end-to-end input is real Kinect data (the
+    VolumeDeform umbrella sequence, /root/reference/download_data.sh:3-13);
+    this models the sensor error sources that data carries so the pipeline's
+    robust constants (Tukey c, ICP gates, fusion quality thresholds) are
+    validated against realistic input, not noiseless analytic scenes:
+
+    - **lateral noise**: the PrimeSense correlation window localizes edges
+      to ~half a pixel; modeled by sampling the true depth at a per-pixel
+      jittered coordinate (sigma ``lateral_sigma_px``) — produces the
+      characteristic edge flicker around silhouettes.
+    - **axial noise**: sigma_z(z) = ``axial_k`` * z^2 meters (Khoshelham &
+      Elberink 2012 measure ~1.5e-3 at 575px focal); grows quadratically
+      with range.
+    - **disparity quantization**: Kinect depth is reconstructed from
+      disparity in 1/8-px steps: z = f*b / round8(f*b / z) — ~2.3 mm steps
+      at 1 m, ~9 mm at 2 m. This is the dominant mm-scale structure in real
+      Kinect depth (depth "banding").
+    - **grazing-incidence dropout**: the projected IR pattern smears on
+      surfaces viewed obliquely; pixels whose surface normal is more than
+      ~``grazing_start_deg`` from the view ray drop out with probability
+      ramping to 1 at ``grazing_full_deg``.
+    - **edge dropout + speckle**: pixels within ``edge_dropout_px`` of a
+      depth discontinuity (shadow of the IR projector baseline) and a
+      uniform ``speckle_dropout`` fraction return no data (0), producing
+      the holes real frames have.
+
+    Input/output: uint16 millimeters, 0 = invalid (sensor convention).
+    Deterministic per (seed, shape)."""
+    rng = np.random.RandomState(seed)
+    rows, cols = depth_mm.shape
+    z = depth_mm.astype(np.float64) / 1000.0
+    valid = z > 0
+
+    # ---- lateral jitter: resample at a jittered pixel coordinate ----
+    if lateral_sigma_px > 0:
+        ju = np.clip(
+            np.arange(cols)[None, :] + rng.normal(0, lateral_sigma_px, (rows, cols)),
+            0, cols - 1,
+        ).round().astype(np.int32)
+        jv = np.clip(
+            np.arange(rows)[:, None] + rng.normal(0, lateral_sigma_px, (rows, cols)),
+            0, rows - 1,
+        ).round().astype(np.int32)
+        z = z[jv, ju]
+        valid = z > 0
+
+    # ---- axial noise ----
+    z = np.where(valid, z + rng.normal(0.0, 1.0, z.shape) * (axial_k * z * z), 0.0)
+
+    # ---- disparity quantization ----
+    if disparity_step > 0:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            disp = np.where(valid, focal_baseline / np.maximum(z, 1e-6), 0.0)
+            disp_q = np.round(disp / disparity_step) * disparity_step
+            z = np.where(valid & (disp_q > 0), focal_baseline / np.maximum(disp_q, 1e-6), 0.0)
+
+    # ---- grazing-incidence dropout (normals from the clean-ish depth) ----
+    gx = np.zeros_like(z)
+    gy = np.zeros_like(z)
+    gx[:, 1:-1] = (z[:, 2:] - z[:, :-2]) * 0.5
+    gy[1:-1, :] = (z[2:, :] - z[:-2, :]) * 0.5
+    # camera-frame normal direction ~ (-fx*dz/du, -fy*dz/dv, stuff); the
+    # incidence cosine against the view ray reduces (for a forward-facing
+    # camera) to 1/sqrt(1 + (fx*gx/z)^2 + (fy*gy/z)^2) up to O(angle) terms
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = intr.fx * gx / np.maximum(z, 1e-6)
+        ty = intr.fy * gy / np.maximum(z, 1e-6)
+        cos_inc = 1.0 / np.sqrt(1.0 + tx * tx + ty * ty)
+    c0 = np.cos(np.radians(grazing_start_deg))
+    c1 = np.cos(np.radians(grazing_full_deg))
+    p_drop = np.clip((c0 - cos_inc) / max(c0 - c1, 1e-9), 0.0, 1.0)
+    drop = rng.uniform(0.0, 1.0, z.shape) < p_drop
+
+    # ---- edge dropout: dilate the discontinuity mask ----
+    if edge_dropout_px > 0:
+        edge = np.zeros(z.shape, bool)
+        jump = 0.02  # m; discontinuity threshold
+        edge[:, :-1] |= np.abs(z[:, 1:] - z[:, :-1]) > jump
+        edge[:, 1:] |= np.abs(z[:, 1:] - z[:, :-1]) > jump
+        edge[:-1, :] |= np.abs(z[1:, :] - z[:-1, :]) > jump
+        edge[1:, :] |= np.abs(z[1:, :] - z[:-1, :]) > jump
+        for _ in range(edge_dropout_px - 1):
+            e2 = edge.copy()
+            e2[:, :-1] |= edge[:, 1:]
+            e2[:, 1:] |= edge[:, :-1]
+            e2[:-1, :] |= edge[1:, :]
+            e2[1:, :] |= edge[:-1, :]
+            edge = e2
+        drop |= edge & (rng.uniform(0.0, 1.0, z.shape) < 0.5)
+
+    # ---- speckle ----
+    drop |= rng.uniform(0.0, 1.0, z.shape) < speckle_dropout
+
+    z = np.where(valid & ~drop, z, 0.0)
+    return np.clip(z * 1000.0, 0, 65535).astype(np.uint16)
+
+
+def write_dataset(
+    root: str,
+    frames,
+    color_frames=None,
+) -> None:
+    """Write a VolumeDeform-layout dataset to disk: ``root/depth/*.png``
+    16-bit grayscale mm (+ optional ``root/color/*.png``) — the layout the
+    reference's dataset app globs (/root/reference/apps/demo.cpp:80-88) and
+    io.dataset.DepthSequence reads back."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    for i, d in enumerate(frames):
+        Image.fromarray(np.asarray(d, np.uint16)).save(
+            os.path.join(root, "depth", f"frame_{i:05d}.png")
+        )
+    if color_frames is not None:
+        os.makedirs(os.path.join(root, "color"), exist_ok=True)
+        for i, c in enumerate(color_frames):
+            Image.fromarray(np.asarray(c, np.uint8)).save(
+                os.path.join(root, "color", f"frame_{i:05d}.png")
+            )
+
+
 def orbit_pose(angle: float, target=(0.0, 0.0, 1.0), dist: float | None = None) -> np.ndarray:
     """Camera-to-world pose orbiting `target` about the world y axis, always
     looking at the target. angle=0 gives the identity pose if the camera

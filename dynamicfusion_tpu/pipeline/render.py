@@ -71,6 +71,49 @@ def render_maps(cfg: DynamicFusionConfig, pts, nrm, mode: int = 0) -> jnp.ndarra
     return img
 
 
+def overlay_nodes(
+    cfg: DynamicFusionConfig,
+    img,
+    state,
+    pose=None,
+    color=(255, 64, 32),
+    size: int = 1,
+):
+    """Draw the warp-field's LIVE node positions over a rendered image —
+    the reference's `show_warp` deformation-graph view
+    (/root/reference/apps/demo.cpp:65,108-114, rendering
+    WarpField::getNodesAsMat). Returns a uint8 numpy copy of ``img`` with a
+    (2*size+1)^2 dot per visible active node (projected with ``pose``,
+    default = the state's current camera pose). Works on the mode-3
+    side-by-side render too (nodes land on the left/Phong panel)."""
+    import numpy as np
+
+    from dynamicfusion_tpu.core import se3
+    from dynamicfusion_tpu.models import warpfield as wf
+
+    out = np.array(img, dtype=np.uint8, copy=True)
+    if pose is None:
+        pose = state.pose
+    live = wf.live_node_positions(state.warp)
+    cam = se3.transform_points(se3.inverse(jnp.asarray(pose)), live)
+    cam = np.asarray(cam)
+    active = np.asarray(state.warp.active)
+
+    z = cam[:, 2]
+    ok = active & (z > 1e-3)
+    u = cfg.intr.fx * cam[:, 0] / np.where(ok, z, 1.0) + cfg.intr.cx
+    v = cfg.intr.fy * cam[:, 1] / np.where(ok, z, 1.0) + cfg.intr.cy
+    h, w = out.shape[0], min(out.shape[1], cfg.cols)  # left panel for mode 3
+    ui = np.round(u).astype(np.int64)
+    vi = np.round(v).astype(np.int64)
+    ok &= (ui >= size) & (ui < w - size) & (vi >= size) & (vi < h - size)
+    col = np.asarray(color, np.uint8)
+    for du in range(-size, size + 1):
+        for dv in range(-size, size + 1):
+            out[vi[ok] + dv, ui[ok] + du] = col
+    return out
+
+
 def render_state(cfg: DynamicFusionConfig, state, mode: int = 0) -> jnp.ndarray:
     """Render from the last model raycast (KinFu::renderImage semantics —
     full-resolution output; the model maps live at 1/raycast_subsample

@@ -138,3 +138,43 @@ class TestDistributedSolve:
         np.testing.assert_allclose(
             np.asarray(f_dist.dq), np.asarray(f_ref.dq), atol=5e-4
         )
+
+
+class TestCompiledCollectives:
+    def test_one_allreduce_round_per_relinearization(self, mesh):
+        """The Schur reduction's communication contract, checked on the
+        LOWERED program (StableHLO — backend-stable; the CPU test backend
+        rewrites collectives to custom-calls in its final HLO): one
+        relinearization through the explicit assembly communicates one
+        all-reduce ROUND — the psum of (JtJ, Jtr, cost), which lowers to
+        one all_reduce per tensor — plus, with int8 quantization, the (6N,)
+        pmax of the column scales. Nothing else: no all-gather of the row
+        matrix, no all-to-all resharding, and the (6N,6N) Gram crosses the
+        wire exactly once."""
+        import re
+
+        field = _field()
+        inputs = _inputs(n=40)
+        n_nodes = field.positions.shape[0]
+        dof = 6 * n_nodes
+
+        for int8, expect_ar in ((False, 3), (True, 4)):
+            cfg = dataclasses.replace(CFG, solver_jtj_int8=int8)
+            s = warp_solver.prepare(cfg, field, inputs, False)
+            s_pad = distributed_gn._pad_points(s, 8)
+            sys_fn = distributed_gn.make_sharded_system(cfg, mesh, n_nodes, False)
+            txt = jax.jit(sys_fn).lower(s_pad, field.dq).as_text()
+
+            n_ar = txt.count("stablehlo.all_reduce")
+            assert n_ar == expect_ar, (int8, n_ar)
+            # the big (6N,6N) Gram is all-reduced exactly once (the op is a
+            # region op; its type signature closes the block)
+            big = re.findall(
+                r'"stablehlo\.all_reduce".*?\}\) : \(tensor<%dx%dxf32>' % (dof, dof),
+                txt,
+                re.S,
+            )
+            assert len(big) == 1, len(big)
+            # ...and never all-gathered / resharded
+            assert "stablehlo.all_gather" not in txt
+            assert "stablehlo.all_to_all" not in txt
