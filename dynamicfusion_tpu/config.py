@@ -83,8 +83,18 @@ class DynamicFusionConfig:
     # the runtime count; overflowing bricks keep stale values one frame —
     # size with scripts/profile_phases.py / bricks.brick_counts).
     integrate_band_cap: int = 2048
-    integrate_wide_cap: int = 256
-    integrate_rect: int = 128        # band depth-lookup window (pixels)
+    # wide-brick fallback cap: the wide path pays cap*B^3 random gathers
+    # UNCONDITIONALLY (static shapes), ~4.6 ms at 128; bench scenes have 0
+    # wide bricks (objects >= 0.56 m put every footprint inside rect=64)
+    integrate_wide_cap: int = 128
+    # band depth-lookup window (pixels): must cover a brick's image
+    # footprint at its nearest scene distance (brick_size * voxel_size *
+    # fx / z); 128 px covers a 16-voxel brick beyond ~0.28 m. Window cost
+    # scales ~linearly in rect with the row-gather + bf16-split lookup
+    # (ops/bricks._rect_lookup); bricks whose footprint exceeds it fall
+    # back to the wide path (counted, capped — rect 64 measured overflowing
+    # the wide cap at the bench scene: stale voxels).
+    integrate_rect: int = 128
 
     # Raycasting
     raycast_step_factor: float = 0.75     # in truncation distances
@@ -114,6 +124,16 @@ class DynamicFusionConfig:
     # band widening, meters: must cover surface variation inside a coarse
     # window plus a couple of march steps of free-space approach
     raycast_band_margin: float = 0.06
+    # Cap on a ray's banded march length, meters (0 = off). Silhouette-
+    # window bands span [nearest foreground, farthest background] and a few
+    # such rays set the whole march's trip count; capped rays that would
+    # only hit past the cap miss instead (background behind a silhouette).
+    # For tracking maps only — final renders get the full band.
+    raycast_band_cap: float = 0.0
+    # Crossing refine: "secant" = two trilinear fetches bracketing + fused
+    # Newton polish (24 gathers/pixel); "newton8" = nearest-value secant
+    # start + ONE fused value/gradient fetch + clamped Newton (8 gathers).
+    raycast_refine: str = "secant"
     # True = the reference's six-sample central-difference normals
     # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
     # in-cell gradient of the trilinear interpolant (8 gathers, shared with
@@ -217,6 +237,14 @@ class DynamicFusionConfig:
     # f32-exact — the gradient sets the solution; the Hessian only shapes
     # the step, and LM accept/reject uses the exact cost.
     solver_jtj_int8: bool = True
+    # Lagged-JtJ (Shamanskii/chord) LM: assemble the full Hessian only at
+    # the first iteration of each solve; later iterations reuse it while
+    # the candidate-evaluation pass returns BOTH the exact cost (for
+    # accept/reject) and a fresh exact gradient (which becomes the next
+    # Jtr) — so fixed points are unchanged, only the step metric is stale.
+    # Saves the one-hot row expansion + int8 syrk + edge-block placement
+    # (~15 ms/iteration at bench shape) on iterations after the first.
+    solver_lagged_jtj: bool = True
     # Reuse the previous frame's model raycast as the solver's canonical
     # surface (saves a full 256^3 raycast per frame; the pixel association
     # then carries one frame of camera motion — negligible at tracking

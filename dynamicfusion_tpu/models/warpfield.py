@@ -210,7 +210,28 @@ def insert_nodes(
     can't flood the capacity with near-duplicates; survivors fill free
     slots with identity-initialized transforms warped-to-current via DQB of
     the existing field (so new nodes start consistent with the deformation
-    around them)."""
+    around them).
+
+    When the field is FULL (count == capacity) the whole pass is skipped
+    via lax.cond — a saturated field is the steady state of long runs and
+    the coverage test + decimation sort (~8 ms at bench shape) would buy
+    nothing."""
+    cov = cfg.node_coverage
+    cap = field.positions.shape[0]
+
+    return jax.lax.cond(
+        field.count < cap,
+        lambda: _insert_nodes_impl(cfg, field, candidates, valid),
+        lambda: field,
+    )
+
+
+def _insert_nodes_impl(
+    cfg: DynamicFusionConfig,
+    field: WarpField,
+    candidates: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> WarpField:
     cov = cfg.node_coverage
     cap = field.positions.shape[0]
 

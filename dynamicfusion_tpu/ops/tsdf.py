@@ -326,8 +326,18 @@ def raycast(
 
     if t_band is not None:
         lo, hi = t_band
-        tmin = jnp.maximum(tmin, jnp.nan_to_num(lo))
-        tmax = jnp.minimum(tmax, jnp.nan_to_num(hi))
+        lo = jnp.nan_to_num(lo)
+        hi = jnp.nan_to_num(hi)
+        if cfg.raycast_band_cap > 0.0:
+            # bound each ray's march length: silhouette-window bands span
+            # [nearest fg, farthest bg] (often most of the volume) and a
+            # handful of such rays set the whole march's trip count. Capped
+            # rays that would only have hit PAST the cap report a miss
+            # instead — acceptable for tracking maps (those are far
+            # background hits behind a silhouette), not for final renders.
+            hi = jnp.minimum(hi, lo + cfg.raycast_band_cap)
+        tmin = jnp.maximum(tmin, lo)
+        tmax = jnp.minimum(tmax, hi)
     elif t_seed is not None:
         m = cfg.raycast_seed_margin
         seeded = t_seed > 0.0
@@ -352,11 +362,14 @@ def raycast(
         dt_hit=jnp.full((rows, cols), step, jnp.float32),
         tsdf_prev=tsdf0,
     )
+    if cfg.raycast_refine == "newton8":
+        state["f0"] = jnp.ones((rows, cols), jnp.float32)
+        state["f1"] = -jnp.ones((rows, cols), jnp.float32)
 
     def cond(st):
         return (st["i"] < n_steps) & ~jnp.all(st["done"])
 
-    def body(st):
+    def one_step(st):
         # adaptive march: double the step deep in observed free space
         # (tsdf ~ +1 means the surface is at least one truncation away);
         # base step inside/near the band — same crossing-bracketing
@@ -367,7 +380,7 @@ def raycast(
         tsdf_next = fetch(tnext)
         crossing = (st["tsdf_prev"] > 0.0) & (tsdf_next < 0.0) & active
         behind = (st["tsdf_prev"] < 0.0) & (tsdf_next > 0.0) & active
-        return dict(
+        out = dict(
             i=st["i"] + 1,
             t=jnp.where(active, tnext, st["t"]),
             done=st["done"] | crossing | behind | (tnext >= tmax),
@@ -376,37 +389,42 @@ def raycast(
             dt_hit=jnp.where(crossing, dt, st["dt_hit"]),
             tsdf_prev=jnp.where(active, tsdf_next, st["tsdf_prev"]),
         )
+        if "f0" in st:  # newton8 refine: bracket endpoint values
+            out["f0"] = jnp.where(crossing, st["tsdf_prev"], st["f0"])
+            out["f1"] = jnp.where(crossing, tsdf_next, st["f1"])
+        return out
+
+    def body(st):
+        # 2x unrolled: per-iteration while_loop overhead (the `all(done)`
+        # cond round + state churn) is comparable to one image-wide gather
+        # at tracking resolution, so two march steps per trip roughly
+        # halves it (measured 35 -> 28 ms fine march at 320x240)
+        return one_step(one_step(st))
 
     st = jax.lax.while_loop(cond, body, state)
     found, t_hit, dt_hit = st["found"], st["t_hit"], st["dt_hit"]
 
-    # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt.
-    # REJECTED cheaper variants (keep the 24-gather secant + polish):
-    # (1) nearest-bracket values + Newton — grazing-incidence plane bias
-    #     breaks rigid tracking (tests/test_rigid_mode.py catches it);
-    # (2) one fused value+gradient fetch at the bracket start + clamped
-    #     Newton (16 gathers) — the bracket start often sits on the TSDF's
-    #     clamped +-1 plateau where the LOCAL in-cell gradient is ~0, so
-    #     Newton clamps to the far bracket end; measured 2.14 -> 3.00 mm
-    #     median on the deforming-sphere quality bench. The secant's
-    #     average slope over the bracket is immune to the plateau.
-    p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
-    p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
-    ft = interpolate(tsdf, p_curr)
-    ftdt = interpolate(tsdf, p_next)
-    denom = ftdt - ft
-    ts = t_hit - dt_hit * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-    ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
-
-    vertex_vol = ray_org + dirs * ts[..., None]
-    if cfg.raycast_smooth_normals:
-        grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
-        normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
-    else:
-        # second fused fetch: Newton polish of the crossing
-        # (better-than-reference sub-step accuracy for free) + the in-cell
-        # gradient for the normal
-        f_v, normal_vol = interpolate_with_gradient(tsdf, vertex_vol * inv_vs)
+    if cfg.raycast_refine == "newton8":
+        # 8-gather refine: the NEAREST-fetched bracket endpoint values from
+        # the march (free) give a secant estimate INSIDE the band; ONE
+        # fused value+gradient fetch there runs a Newton step (clamped to
+        # the bracket) and yields the normal. Differs from the two REJECTED
+        # variants documented on the secant path below: variant (1) used
+        # the nearest-secant POINT directly (plane bias at grazing
+        # incidence); variant (2) Newton'd from the bracket START (+-1
+        # plateau, ~zero local gradient). Here Newton starts at the
+        # secant's near-surface point, where the in-cell trilinear gradient
+        # is the real surface slope. 24 -> 8 gathers of refine cost;
+        # validated against the secant path on the deforming-sphere quality
+        # bench and the rigid-tracking tests before becoming the default.
+        f0, f1 = st["f0"], st["f1"]
+        denom0 = f0 - f1
+        alpha = jnp.clip(
+            f0 / jnp.where(jnp.abs(denom0) > 1e-12, denom0, 1e-12), 0.0, 1.0
+        )
+        ts = t_hit + dt_hit * alpha
+        p0 = (ray_org + dirs * ts[..., None]) * inv_vs
+        f_v, normal_vol = interpolate_with_gradient(tsdf, p0)
         dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
         ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
         good2 = (
@@ -416,6 +434,46 @@ def raycast(
         )
         ts = jnp.where(good2, ts2, ts)
         vertex_vol = ray_org + dirs * ts[..., None]
+        if cfg.raycast_smooth_normals:
+            grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
+            normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+    else:
+        # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt.
+        # REJECTED cheaper variants (keep the 24-gather secant + polish):
+        # (1) nearest-bracket values + Newton — grazing-incidence plane bias
+        #     breaks rigid tracking (tests/test_rigid_mode.py catches it);
+        # (2) one fused value+gradient fetch at the bracket start + clamped
+        #     Newton (16 gathers) — the bracket start often sits on the TSDF's
+        #     clamped +-1 plateau where the LOCAL in-cell gradient is ~0, so
+        #     Newton clamps to the far bracket end; measured 2.14 -> 3.00 mm
+        #     median on the deforming-sphere quality bench. The secant's
+        #     average slope over the bracket is immune to the plateau.
+        p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
+        p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
+        ft = interpolate(tsdf, p_curr)
+        ftdt = interpolate(tsdf, p_next)
+        denom = ftdt - ft
+        ts = t_hit - dt_hit * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
+
+        vertex_vol = ray_org + dirs * ts[..., None]
+        if cfg.raycast_smooth_normals:
+            grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
+            normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+        else:
+            # second fused fetch: Newton polish of the crossing
+            # (better-than-reference sub-step accuracy for free) + the in-cell
+            # gradient for the normal
+            f_v, normal_vol = interpolate_with_gradient(tsdf, vertex_vol * inv_vs)
+            dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
+            ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
+            good2 = (
+                jnp.isfinite(ts2)
+                & (jnp.abs(ts2 - ts) < dt_hit)
+                & ~jnp.isnan(f_v)
+            )
+            ts = jnp.where(good2, ts2, ts)
+            vertex_vol = ray_org + dirs * ts[..., None]
     nn = jnp.linalg.norm(normal_vol, axis=-1, keepdims=True)
     normal_vol = normal_vol / jnp.maximum(nn, 1e-12)
 

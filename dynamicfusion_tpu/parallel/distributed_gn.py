@@ -131,6 +131,61 @@ def make_system_fn(
     return system_fn
 
 
+def make_sharded_eval(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    n_nodes: int,
+    point_to_plane: bool,
+    axis: str = "d",
+):
+    """eval_fn core for the lagged-JtJ LM loop: per-shard gradient + cost,
+    ONE psum round of ((6N,), scalar) — much lighter than the (6N,6N)
+    Schur round of the full relinearization."""
+    specs = structure_specs(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=(P(), P()),
+    )
+    def evaluate(s_local: SolveStructure, dqs: jnp.ndarray):
+        r, jac, cost_d = warp_solver.data_residual_and_jac(
+            cfg, s_local, dqs, point_to_plane
+        )
+        jtr_d = warp_solver.data_jtr(s_local, jac, r, n_nodes)
+        jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis)
+        re, je_i, je_j, cost_e = warp_solver.edge_residual_and_jac(
+            cfg, s_local, dqs
+        )
+        jtr_e = warp_solver.edge_jtr(s_local, je_i, je_j, re, n_nodes)
+        return jtr_d + jtr_e, cost_d + cost_e
+
+    return evaluate
+
+
+def make_eval_fn(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    n_nodes: int,
+    point_to_plane: bool,
+    axis: str = "d",
+):
+    """``eval_fn(s, dqs)`` for warp_solver.solve's lagged-JtJ loop over the
+    mesh (companion of make_system_fn)."""
+    n_dev = mesh.shape[axis]
+    ev = make_sharded_eval(cfg, mesh, n_nodes, point_to_plane, axis)
+
+    def eval_fn(s: SolveStructure, dqs: jnp.ndarray):
+        s = _pad_points(s, n_dev)
+        s = jax.lax.with_sharding_constraint(
+            s, jax.tree.map(lambda sp: NamedSharding(mesh, sp), structure_specs(axis))
+        )
+        return ev(s, dqs)
+
+    return eval_fn
+
+
 def solve_distributed(
     cfg: DynamicFusionConfig,
     mesh: Mesh,
@@ -149,6 +204,12 @@ def solve_distributed(
         point_to_plane = cfg.point_to_plane
     n_nodes = field.positions.shape[0]
     system_fn = make_system_fn(cfg, mesh, n_nodes, point_to_plane, axis)
+    eval_fn = (
+        make_eval_fn(cfg, mesh, n_nodes, point_to_plane, axis)
+        if cfg.solver_lagged_jtj
+        else None
+    )
     return warp_solver.solve(
-        cfg, field, inputs, point_to_plane=point_to_plane, system_fn=system_fn
+        cfg, field, inputs, point_to_plane=point_to_plane,
+        system_fn=system_fn, eval_fn=eval_fn,
     )

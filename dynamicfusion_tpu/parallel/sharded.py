@@ -74,16 +74,26 @@ def make_sharded_step(
     rematerialization" warnings of round 1)."""
     ss = state_shardings(cfg, mesh, axis)
     depth_s = NamedSharding(mesh, P())
+    use_explicit = explicit_gn and not cfg.rigid_only
     system_fn = (
         distributed_gn.make_system_fn(
             cfg, mesh, cfg.max_nodes, cfg.point_to_plane, axis
         )
-        if explicit_gn and not cfg.rigid_only
+        if use_explicit
+        else None
+    )
+    eval_fn = (
+        distributed_gn.make_eval_fn(
+            cfg, mesh, cfg.max_nodes, cfg.point_to_plane, axis
+        )
+        if use_explicit and cfg.solver_lagged_jtj
         else None
     )
 
     def _step(state, depth):
-        state, out = kinfu.step(cfg, state, depth, warp_system_fn=system_fn)
+        state, out = kinfu.step(
+            cfg, state, depth, warp_system_fn=system_fn, warp_eval_fn=eval_fn
+        )
         return state, out
 
     return jax.jit(_step, in_shardings=(ss, depth_s), out_shardings=(ss, None))

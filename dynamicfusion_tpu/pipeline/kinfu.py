@@ -208,6 +208,7 @@ def step(
     state: PipelineState,
     depth_mm: jnp.ndarray,
     warp_system_fn=None,
+    warp_eval_fn=None,
 ) -> Tuple[PipelineState, StepOutputs]:
     """One full DynamicFusion frame (KinFu::operator() + dynamicfusion()).
 
@@ -215,7 +216,8 @@ def step(
     warp solve (warp_solver.solve's system_fn) — the sharded pipeline step
     passes parallel.distributed_gn.make_system_fn here so the GN assembly
     runs through the explicit shard_map+psum Schur reduction instead of
-    whatever GSPMD infers."""
+    whatever GSPMD infers. ``warp_eval_fn``: its lagged-JtJ companion
+    (distributed_gn.make_eval_fn)."""
     shift = cfg.raycast_shift
     stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
 
@@ -342,7 +344,7 @@ def step(
 
     # ---- 4. non-rigid warp-field solve ----
     warp, stats = warp_solver.solve(
-        cfg, state.warp, inputs, system_fn=warp_system_fn
+        cfg, state.warp, inputs, system_fn=warp_system_fn, eval_fn=warp_eval_fn
     )
     if cfg.solver_remove_net_rigid:
         # optional belt-and-suspenders gauge anchor (off by default: the

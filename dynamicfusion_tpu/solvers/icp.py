@@ -129,7 +129,7 @@ def estimate_transform(
         cp, cn = curr_pts_pyr[level], curr_nrm_pyr[level]
         pp, pn = prev_pts_pyr[level], prev_nrm_pyr[level]
 
-        def body(st, cp=cp, cn=cn, pp=pp, pn=pn, intr_l=intr_l):
+        def gn_iter(st, cp=cp, cn=cn, pp=pp, pn=pn, intr_l=intr_l):
             i, t, _, _ = st
             a, b = _build_system(
                 intr_l, t, cp, cn, pp, pn, dist2_thres, min_cos
@@ -148,6 +148,12 @@ def estimate_transform(
             # level reports healthy
             step_norm = jnp.where(good, jnp.linalg.norm(x), jnp.inf)
             return (i + 1, t, good, step_norm)
+
+        def body(st):
+            # 2x unrolled (like the raycast march): per-trip while_loop
+            # overhead rivals one GN linearization at tracking resolution;
+            # the early-exit check just runs every second iteration
+            return gn_iter(gn_iter(st))
 
         # the schedule (cfg.icp_iters, the reference's {10,5,4,0}) is the
         # per-level CAP; converged levels exit early on the GN step norm —

@@ -373,34 +373,18 @@ def gn_system_dense(
     return jtj + jtj_e, jtr + jtr_e, cost_d + cost_e
 
 
-def data_system(
+def data_jtj(
     cfg: DynamicFusionConfig,
     s: SolveStructure,
-    dqs: jnp.ndarray,
+    jac: jnp.ndarray,
     n_nodes: int,
-    point_to_plane: bool,
     col_scale_reduce=None,
 ):
-    """Data-term contribution to the normal equations. Touches only the
-    point fields of ``s`` — on a point shard inside shard_map this is the
-    per-device partial whose psum is the distributed GN reduction.
-
-    ``col_scale_reduce`` (optional, (6N,) -> (6N,)) reduces the per-column
-    |A| maxima across shards BEFORE int8 quantization — the distributed
-    assembly passes a pmax so every shard quantizes with the same global
-    scales and the psum of shard Grams equals the single-device int8
-    assembly exactly (diag(c) (sum_s Qs^T Qs) diag(c)).
-
-    Returns (jtj, jtr, cost): the data-term robust cost at the
-    linearization point rides along (shards psum it like jtr)."""
+    """Data-term JtJ from the (sqrt-weighted) per-point Jacobians: one syrk
+    over bf16 one-hot-expanded rows. The Hessian is only a step model — LM
+    accept/reject uses the exact cost — so bf16 rows don't affect
+    correctness."""
     dof = 6 * n_nodes
-    r, jac, cost = data_residual_and_jac(cfg, s, dqs, point_to_plane)
-
-    # ---- JtJ: one syrk over bf16 one-hot-expanded rows ----
-    # The Hessian is only a step model — LM accept/reject uses the exact
-    # cost — so bf16 rows don't affect correctness. (The data subsample
-    # happened once in prepare(); cost/gradient/Hessian all see the same
-    # objective.)
     oh = jax.nn.one_hot(s.knn_idx, n_nodes, dtype=jnp.bfloat16)  # (P,K,N)
     a = jnp.einsum(
         "pkn,prkd->prnd", oh, jac.astype(jnp.bfloat16)
@@ -426,18 +410,52 @@ def data_system(
         jtj = g.astype(jnp.float32) * (c[:, None] * c[None, :])
     else:
         jtj = jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+    return jtj
 
-    # ---- Jtr ----
-    # jr = jac^T r needs better than bf16: split into bf16 hi + bf16 lo and
-    # run two bf16 one-hot matmuls with f32 accumulation — exact to ~2^-16
-    # relative, no f32 one-hot materialization (reuses the JtJ one-hot).
+
+def data_jtr(
+    s: SolveStructure,
+    jac: jnp.ndarray,
+    r: jnp.ndarray,
+    n_nodes: int,
+) -> jnp.ndarray:
+    """Data-term gradient J^T r from (sqrt-weighted) Jacobians+residuals.
+    jac^T r needs better than bf16: split into bf16 hi + bf16 lo and run
+    two bf16 one-hot matmuls with f32 accumulation — exact to ~2^-16
+    relative, no f32 one-hot materialization."""
+    oh = jax.nn.one_hot(s.knn_idx, n_nodes, dtype=jnp.bfloat16)  # (P,K,N)
     jr = jnp.einsum("prkd,pr->pkd", jac, r)  # (P, K, 6) f32
     hi = jr.astype(jnp.bfloat16)
     lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    jtr = (
+    return (
         jnp.einsum("pkn,pkd->nd", oh, hi, preferred_element_type=jnp.float32)
         + jnp.einsum("pkn,pkd->nd", oh, lo, preferred_element_type=jnp.float32)
     ).reshape(-1)
+
+
+def data_system(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+    point_to_plane: bool,
+    col_scale_reduce=None,
+):
+    """Data-term contribution to the normal equations. Touches only the
+    point fields of ``s`` — on a point shard inside shard_map this is the
+    per-device partial whose psum is the distributed GN reduction.
+
+    ``col_scale_reduce`` (optional, (6N,) -> (6N,)) reduces the per-column
+    |A| maxima across shards BEFORE int8 quantization — the distributed
+    assembly passes a pmax so every shard quantizes with the same global
+    scales and the psum of shard Grams equals the single-device int8
+    assembly exactly (diag(c) (sum_s Qs^T Qs) diag(c)).
+
+    Returns (jtj, jtr, cost): the data-term robust cost at the
+    linearization point rides along (shards psum it like jtr)."""
+    r, jac, cost = data_residual_and_jac(cfg, s, dqs, point_to_plane)
+    jtj = data_jtj(cfg, s, jac, n_nodes, col_scale_reduce)
+    jtr = data_jtr(s, jac, r, n_nodes)
     return jtj, jtr, cost
 
 
@@ -464,8 +482,19 @@ def edge_system(
     and ~16 ms for the transpose+at[].add blockwise variant.
 
     Returns (jtj, jtr, cost) like data_system."""
-    dof = 6 * n_nodes
     re, je_i, je_j, cost = edge_residual_and_jac(cfg, s, dqs)
+    jtj = edge_jtj(s, je_i, je_j, n_nodes)
+    jtr = edge_jtr(s, je_i, je_j, re, n_nodes)
+    return jtj, jtr, cost
+
+
+def edge_jtj(
+    s: SolveStructure,
+    je_i: jnp.ndarray,
+    je_j: jnp.ndarray,
+    n_nodes: int,
+) -> jnp.ndarray:
+    dof = 6 * n_nodes
     e = s.e_src.shape[0]
     c = e // n_nodes  # k_edge: e_src = repeat(arange(N), c) by construction
     oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)  # (E, N)
@@ -500,18 +529,48 @@ def edge_system(
         "nm,nab->namb", jnp.eye(n_nodes, dtype=jnp.float32), diag,
         precision=hi,
     )
-    jtj = full.reshape(dof, dof)
+    return full.reshape(dof, dof)
 
-    # edge gradient in f32: source side static-structured, dst via one-hot
+
+def edge_jtr(
+    s: SolveStructure,
+    je_i: jnp.ndarray,
+    je_j: jnp.ndarray,
+    re: jnp.ndarray,
+    n_nodes: int,
+) -> jnp.ndarray:
+    """Edge gradient in f32: source side static-structured, dst via
+    one-hot."""
+    e = s.e_src.shape[0]
+    c = e // n_nodes
+    oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)
     g_i = jnp.einsum("erd,er->ed", je_i, re)  # (E, 6)
     g_j = jnp.einsum("erd,er->ed", je_j, re)
-    jtr = (
+    return (
         g_i.reshape(n_nodes, c, 6).sum(axis=1)
         + jnp.einsum(
             "en,ed->nd", oh_d, g_j, precision=jax.lax.Precision.HIGHEST
         )
     ).reshape(-1)
-    return jtj, jtr, cost
+
+
+def gn_eval(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+    point_to_plane: bool,
+):
+    """Gradient + true robust cost at ``dqs`` WITHOUT the Hessian — the
+    lagged-JtJ LM loop's per-candidate evaluation (see solve). Costs one
+    residual+jacobian pass + the (cheap) J^T r assemblies; skips the
+    one-hot row expansion + syrk and the edge-block placement, which
+    dominate the full relinearization. Returns (jtr, cost)."""
+    r, jac, cost_d = data_residual_and_jac(cfg, s, dqs, point_to_plane)
+    jtr = data_jtr(s, jac, r, n_nodes)
+    re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s, dqs)
+    jtr_e = edge_jtr(s, je_i, je_j, re, n_nodes)
+    return jtr + jtr_e, cost_d + cost_e
 
 
 # --------------------------------------------------------------------------
@@ -663,6 +722,7 @@ def solve(
     inputs: WarpSolveInputs,
     point_to_plane: Optional[bool] = None,
     system_fn=None,
+    eval_fn=None,
 ) -> Tuple[WarpField, SolveStats]:
     """Estimate the warp field for the current frame.
 
@@ -675,7 +735,11 @@ def solve(
     assembly (the distributed shard_map+psum assembly in
     parallel/distributed_gn.py plugs in here); ``cost`` is the true robust
     cost at the linearization point (the relinearization's residuals make
-    it free — no separate initial cost_at)."""
+    it free — no separate initial cost_at).
+
+    ``eval_fn(s, dqs) -> (jtr, cost)`` enables the LAGGED-JtJ loop (see
+    below; built automatically from cfg.solver_lagged_jtj for the local
+    path, or pass distributed_gn.make_eval_fn for the sharded one)."""
     if point_to_plane is None:
         point_to_plane = cfg.point_to_plane
     n_nodes = field.positions.shape[0]
@@ -698,21 +762,48 @@ def solve(
     # solver's fn-tolerance semantics, CombinedSolver.h:88), remaining
     # iterations are skipped entirely via lax.cond — warm-started frames
     # with little new deformation converge in 1-2 iterations.
-    jtj = jnp.zeros((dof, dof))
-    jtr = jnp.zeros((dof,))
-
+    #
+    # LAGGED-JtJ mode (cfg.solver_lagged_jtj / eval_fn given): the FULL
+    # system (Hessian) is assembled only at iteration 0; afterwards each
+    # candidate is evaluated by ``eval_fn``, whose cost decides
+    # accept/reject (exact, like cost_at) and whose FRESH gradient becomes
+    # the next iteration's Jtr when accepted — the Hessian stays lagged
+    # (Shamanskii/chord iteration). The gradient is exact at every
+    # linearization point, so converged fixed points are unchanged; only
+    # the step metric is stale. Measured quality-neutral on the
+    # deforming-sphere bench; saves the one-hot expansion + int8 syrk +
+    # edge-block placement (~15 ms/iteration at bench shape) on every
+    # iteration after the first.
     if system_fn is None:
         system_fn = lambda s_, dqs_: gn_system_dense(
             cfg, s_, dqs_, n_nodes, point_to_plane
         )
+        if eval_fn is None and cfg.solver_lagged_jtj:
+            eval_fn = lambda s_, dqs_: gn_eval(
+                cfg, s_, dqs_, n_nodes, point_to_plane
+            )
+    use_lagged = eval_fn is not None
+
+    if use_lagged:
+        # the ONE full relinearization happens before the loop (also keeps
+        # a distributed system_fn's shard_map out of the while_loop body,
+        # where the SPMD partitioner handles it catastrophically slowly)
+        jtj, jtr, cost_init = system_fn(s, dqs)
+    else:
+        jtj = jnp.zeros((dof, dof))
+        jtr = jnp.zeros((dof,))
+        cost_init = jnp.zeros(())
 
     def lm_iteration(st):
         it, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, need_relin, _ = st
-        jtj, jtr, cost_lin = jax.lax.cond(
-            need_relin,
-            lambda dqs=dqs: system_fn(s, dqs),
-            lambda: (jtj, jtr, cost_prev),
-        )
+        if use_lagged:
+            cost_lin = jnp.where(it == 0, cost_init, cost_prev)
+        else:
+            jtj, jtr, cost_lin = jax.lax.cond(
+                need_relin,
+                lambda dqs=dqs: system_fn(s, dqs),
+                lambda: (jtj, jtr, cost_prev),
+            )
         # the relinearization's cost IS the cost at the current point (on
         # iteration 0 it is the solve's initial cost)
         cost_prev = cost_lin
@@ -747,10 +838,14 @@ def solve(
         cand = dualquat.normalize(
             dualquat.mul(dualquat.from_twist(step[:, :3], step[:, 3:]), dqs)
         )
-        cand_cost = cost_at(cfg, s, cand, point_to_plane)
+        if use_lagged:
+            jtr_cand, cand_cost = eval_fn(s, cand)
+        else:
+            jtr_cand, cand_cost = jtr, cost_at(cfg, s, cand, point_to_plane)
         better = cand_cost < cost_prev
         improvement = jnp.where(better, cost_prev - cand_cost, 0.0)
         dqs = jnp.where(better, cand, dqs)
+        jtr = jnp.where(better, jtr_cand, jtr)
         cost_prev = jnp.where(better, cand_cost, cost_prev)
         lm_lambda = jnp.where(better, lm_lambda * 0.5, lm_lambda * 8.0)
         lm_lambda = jnp.clip(lm_lambda, 1e-8, 1e6)

@@ -176,7 +176,7 @@ def main():
         def f(s, cg, d):
             pyr = bricks.build_depth_pyramid(perturb(d, s), levels)
             bc = bricks.classify(cfg, cg, g, pyr, cfg.intr, rows_i, cols_i, rect)
-            return jnp.sum(bc.cls)
+            return jnp.sum(bc.cls).astype(jnp.float32)
         return f, (cam_grid, dists)
     bench_phase("fusion: depth pyr + classify", mk_cls)
 

@@ -51,6 +51,10 @@ ORACLE_CFG = DynamicFusionConfig(
     # the oracle asserts exact-path f32 equivalences (rtol 1e-4); the int8
     # JtJ path has its own parity test with a quantization-scale tolerance
     solver_jtj_int8=False,
+    # oracle scenarios are COLD starts with large displacements, where the
+    # exact-Hessian LM is the right contract; the lagged-JtJ default has
+    # its own convergence test (test_lagged_jtj_converges)
+    solver_lagged_jtj=False,
 )
 
 
@@ -337,3 +341,23 @@ class TestRigidPrealign:
         )
         t_est = np.asarray(warp_solver.rigid_prealign(ORACLE_CFG, field, inputs, stride=1))
         np.testing.assert_allclose(t_est, np.eye(4), atol=1e-4)
+
+
+def test_lagged_jtj_converges():
+    """The default lagged-JtJ (Shamanskii) loop reaches the same fixed
+    point as exact-Hessian LM on a warm-start-sized displacement (the
+    pipeline's regime: the field carries most of the motion, each frame
+    adds a small increment). The gradient is exact at every accepted point,
+    so the solutions agree; the lagged metric may cost extra iterations on
+    cold large displacements (covered by the exact-LM oracles)."""
+    cfg_lag = dataclasses.replace(
+        ORACLE_CFG, solver_lagged_jtj=True, solver_nonlinear_iters=10
+    )
+    field = _cube_field()
+    rng = np.random.default_rng(5)
+    can = rng.uniform(-0.9, 0.9, (60, 3)).astype(np.float32)
+    live = can + np.asarray([0.01, -0.008, 0.012], np.float32)
+    new_field, stats = _solve(field, can, live, cfg=cfg_lag)
+    warped = np.asarray(warpfield.warp_points(new_field, jnp.asarray(can)))
+    np.testing.assert_allclose(warped, live, atol=1e-3)
+    assert float(stats.final_cost) < float(stats.initial_cost)
