@@ -276,6 +276,13 @@ class DynamicFusionConfig:
     # their DQB blend is a normalized near-zero sum (garbage transform) and
     # fusing through it smears the canonical model.
     fusion_quality_min: float = 0.01
+    # Fuse depth into the volume only every Nth frame (1 = every frame).
+    # Tracking and the warp solve still run per frame against the existing
+    # model; skipped frames' observations are simply not integrated —
+    # halves the ~30-40 ms integrate cost at interval 2 at the price of
+    # half the observation count (slower weight saturation, more per-
+    # observation noise retained).
+    fusion_interval: int = 1
 
     # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)

@@ -385,53 +385,43 @@ def _rect_lookup(
     rect: int,
     chunk: int = 64,
 ) -> jnp.ndarray:
-    """Random-gather-free depth lookup, per brick:
+    """Gather-free depth lookup: one-hot matmul window extraction + separable
+    one-hot voxel selection (all MXU; see module docstring).
 
-    1. window ROW extraction as a row gather (rows are contiguous; TPU row
-       gathers run ~70x faster per element than element gathers),
-    2. window COLUMN selection as a one-hot matmul,
-    3. separable one-hot voxel selection inside the (rect, rect) window.
-
-    All matmuls run as THREE bf16 passes on a hi+mid+lo split of the depth
-    (8+8+8 mantissa bits cover f32's 24 — each output is a one-hot
-    SELECTION, so the reconstruction error is < an f32 ulp: bit-exact for
-    practical purposes) instead of the 6-pass f32-HIGHEST formulation: the
-    one-hot factors are exactly representable, only the depth needs the
-    split. An earlier version also did step 1 as a one-hot matmul against
-    the FULL image — (rect, H) @ (H, W) = 39 MFLOP per brick, ~75% of the
-    integrate cost at bench shape."""
+    REJECTED alternative (measured, do not revisit without profiling): a
+    row-gather window extraction + 3-way bf16-split one-hot matmuls looks
+    ~10x cheaper on paper (no (rect, H) @ (H, W) full-image matmul), but
+    measured 38 -> 60 ms on the integrate phase at bench shape — the v5e
+    runs these f32-HIGHEST one-hot matmuls near MXU rate, while the 2D-index
+    row gather + tripled dot count + (BV, rect) f32 intermediates lose on
+    bandwidth."""
     h, w = dists.shape
     k, bv = ri.shape
 
-    def split3(x):
-        hi_ = x.astype(jnp.bfloat16)
-        r = x - hi_.astype(jnp.float32)
-        mid_ = r.astype(jnp.bfloat16)
-        lo_ = (r - mid_.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi_, mid_, lo_
+    hi = jax.lax.Precision.HIGHEST  # exact one-hot selection of f32 depths
 
-    d3 = split3(dists)
-
-    def per_brick(rows3, u0i, rii, cii):
-        # rows3: 3 x (rect, w) pre-gathered window rows (hi/mid/lo split)
+    def per_brick(v0i, u0i, rii, cii):
+        rows_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (rect, h), 1)
+            == (v0i + jax.lax.broadcasted_iota(jnp.int32, (rect, h), 0))
+        ).astype(jnp.float32)
+        rect_rows = jnp.dot(
+            rows_oh, dists, preferred_element_type=jnp.float32, precision=hi
+        )
         cols_oh = (
             jax.lax.broadcasted_iota(jnp.int32, (w, rect), 0)
             == (u0i + jax.lax.broadcasted_iota(jnp.int32, (w, rect), 1))
-        ).astype(jnp.bfloat16)
-        rct = sum(
-            jnp.dot(r_, cols_oh, preferred_element_type=jnp.float32)
-            for r_ in rows3
-        )  # (rect, rect) f32 exact selection
+        ).astype(jnp.float32)
+        rct = jnp.dot(
+            rect_rows, cols_oh, preferred_element_type=jnp.float32, precision=hi
+        )
         row_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == rii[:, None]
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.float32)
         col_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (bv, rect), 1) == cii[:, None]
         ).astype(jnp.float32)
-        t = sum(
-            jnp.dot(row_sel, r_, preferred_element_type=jnp.float32)
-            for r_ in split3(rct)
-        )
+        t = jnp.dot(row_sel, rct, preferred_element_type=jnp.float32, precision=hi)
         return jnp.sum(t * col_sel, axis=-1)
 
     pad = (-k) % chunk
@@ -440,19 +430,8 @@ def _rect_lookup(
     rip = jnp.pad(ri, ((0, pad), (0, 0)))
     cip = jnp.pad(ci, ((0, pad), (0, 0)))
     n = (k + pad) // chunk
-
-    def per_chunk(args):
-        v0c, u0c, ric, cic = args
-        rows_idx = jnp.clip(
-            v0c[:, None] + jnp.arange(rect, dtype=jnp.int32), 0, h - 1
-        )  # (chunk, rect)
-        rows3 = tuple(jnp.take(d_, rows_idx, axis=0) for d_ in d3)
-        return jax.vmap(lambda r0, r1, r2, u, a, b: per_brick((r0, r1, r2), u, a, b))(
-            *rows3, u0c, ric, cic
-        )
-
     dp = jax.lax.map(
-        per_chunk,
+        lambda t: jax.vmap(per_brick)(*t),
         (
             v0p.reshape(n, chunk),
             u0p.reshape(n, chunk),

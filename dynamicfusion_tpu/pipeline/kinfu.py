@@ -366,10 +366,22 @@ def step(
         dq_grid, q_grid = None, None
 
     # ---- 5. non-rigid fusion into the canonical volume ----
-    vol, bcounts = fusion.integrate_nonrigid(
-        cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
-        with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-    )
+    if cfg.fusion_interval > 1:
+        # skip integration on off-frames (tracking/solve still ran against
+        # the existing model); lax.cond executes only the taken branch
+        vol, bcounts = jax.lax.cond(
+            state.frame_idx % cfg.fusion_interval == 0,
+            lambda: fusion.integrate_nonrigid(
+                cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
+                with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
+            ),
+            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
+        )
+    else:
+        vol, bcounts = fusion.integrate_nonrigid(
+            cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
+            with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
+        )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
     ins = cfg.node_insert_stride if full_scale else 1

@@ -149,11 +149,10 @@ def estimate_transform(
             step_norm = jnp.where(good, jnp.linalg.norm(x), jnp.inf)
             return (i + 1, t, good, step_norm)
 
-        def body(st):
-            # 2x unrolled (like the raycast march): per-trip while_loop
-            # overhead rivals one GN linearization at tracking resolution;
-            # the early-exit check just runs every second iteration
-            return gn_iter(gn_iter(st))
+        # NOT unrolled (unlike the raycast march): warm-started ICP levels
+        # converge in 1-3 iterations, and a 2x unroll halves the early-exit
+        # granularity — measured 26 -> 48 ms per frame on the phase profile
+        body = gn_iter
 
         # the schedule (cfg.icp_iters, the reference's {10,5,4,0}) is the
         # per-level CAP; converged levels exit early on the GN step norm —

@@ -112,3 +112,21 @@ def test_reset():
     df.reset()
     assert int(df.state.frame_idx) == 0
     assert float(df.state.vol.weight.max()) == 0.0
+
+
+def test_fusion_interval_skips_off_frames():
+    """fusion_interval=2: odd frames track/solve but do not integrate —
+    the volume weight is unchanged on skipped frames."""
+    cfg = dataclasses.replace(CFG, fusion_interval=2)
+    df = kinfu.DynamicFusion(cfg)
+    d = jnp.asarray(_depth())
+    df(d)                      # frame 0 (init integrates)
+    w_after = [np.asarray(df.state.vol.weight).sum()]
+    for _ in range(3):         # frames 1 (skip), 2 (fuse), 3 (skip)
+        ok = df(d)
+        assert ok
+        w_after.append(np.asarray(df.state.vol.weight).sum())
+    # frame 1 skipped: no weight change; frame 2 fused: weight grows
+    assert w_after[1] == w_after[0]
+    assert w_after[2] > w_after[1]
+    assert w_after[3] == w_after[2]
