@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
 from dynamicfusion_tpu.core import se3
+from dynamicfusion_tpu.ops import preprocess
 
 
 class IcpResult(NamedTuple):
@@ -168,3 +169,38 @@ def estimate_transform(
             )
             ok = level_ok  # finest executed level's final health wins
     return IcpResult(transform=t, ok=ok)
+
+
+def estimate_transform_depth(
+    cfg: DynamicFusionConfig,
+    curr_depth_pyr: List[jnp.ndarray],
+    curr_nrm_pyr: List[jnp.ndarray],
+    prev_depth_pyr: List[jnp.ndarray],
+    prev_nrm_pyr: List[jnp.ndarray],
+    level_offset: int = 0,
+) -> IcpResult:
+    """The reference's DEPTH-variant ICP (the ``USE_DEPTH`` compile path,
+    /root/reference/kfusion/src/projective_icp.cpp:125-167 with
+    find_coresp's depth branch, proj_icp.cu:60-77): correspondence targets
+    are reconstructed from the PREVIOUS FRAME's depth pyramid — i.e.
+    frame-to-frame tracking — instead of the raycast model maps
+    (frame-to-model, the reference's active path and this pipeline's
+    default).
+
+    On TPU the in-kernel texture reproject dissolves into building the
+    per-level vertex maps from the depth pyramids once (exactly what the
+    reference's reproj() does per lookup) and running the same masked-row
+    einsum Gauss-Newton core. Useful when no fused model exists (bootstrap,
+    model-free odometry) and for parity with the reference's compile-time
+    variant."""
+    curr_pts, prev_pts = [], []
+    for l, (dc, dp) in enumerate(zip(curr_depth_pyr, prev_depth_pyr)):
+        intr_l = cfg.intr.level(l + level_offset)
+        pc, _ = preprocess.compute_points_normals(intr_l, dc)
+        pp, _ = preprocess.compute_points_normals(intr_l, dp)
+        curr_pts.append(pc)
+        prev_pts.append(pp)
+    return estimate_transform(
+        cfg, curr_pts, list(curr_nrm_pyr), prev_pts, list(prev_nrm_pyr),
+        level_offset=level_offset,
+    )

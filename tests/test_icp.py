@@ -2,6 +2,7 @@
 the reference; the scenarios mirror its runtime use: frame-to-model
 tracking with small inter-frame motion)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,3 +118,41 @@ def test_degenerate_input_flags_failure():
     res = icp.estimate_transform(CFG, pyr_p, pyr_p, pyr_p, pyr_p)
     assert not bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=1e-6)
+
+
+def test_depth_variant_tracks_motion():
+    """The USE_DEPTH variant (frame-to-frame, targets reconstructed from
+    the previous DEPTH pyramid) recovers a small camera translation like
+    the points variant does against model maps."""
+    import dataclasses
+
+    from dynamicfusion_tpu.io import synthetic
+    from dynamicfusion_tpu.ops import preprocess
+
+    cfg = DynamicFusionConfig.small(dims=64, rows=120, cols=160)
+    scene = dict(
+        spheres=[dict(center=(0.0, 0.0, 0.9), radius=0.2),
+                 dict(center=(0.25, 0.1, 1.0), radius=0.08)],
+        plane_z=1.25,
+    )
+    pose0 = np.eye(4)
+    pose1 = np.eye(4)
+    pose1[:3, 3] = [0.004, -0.003, 0.005]
+    d_prev = synthetic.scene_depth(cfg.intr, cfg.rows, cfg.cols, pose0, **scene)
+    d_curr = synthetic.scene_depth(cfg.intr, cfg.rows, cfg.cols, pose1, **scene)
+
+    dp_prev, _, nrm_prev, _ = preprocess.build_frame_pyramid(cfg, jnp.asarray(d_prev))
+    dp_curr, _, nrm_curr, _ = preprocess.build_frame_pyramid(cfg, jnp.asarray(d_curr))
+
+    res = jax.jit(
+        lambda a, b, c, d: icp.estimate_transform_depth(cfg, list(a), list(b), list(c), list(d))
+    )(tuple(dp_curr), tuple(nrm_curr), tuple(dp_prev), tuple(nrm_prev))
+    assert bool(res.ok)
+    t = np.asarray(res.transform)
+    # transform maps current camera frame -> previous: the camera moved by
+    # +delta, so points move by -delta... verify by transforming a current-
+    # frame point and checking it lands on the previous-frame ray geometry:
+    # for a pure translation, t's translation should be ~ +delta (current
+    # camera origin expressed in the previous frame).
+    np.testing.assert_allclose(t[:3, 3], pose1[:3, 3], atol=2e-3)
+    np.testing.assert_allclose(t[:3, :3], np.eye(3), atol=5e-3)
