@@ -69,6 +69,12 @@ class DynamicFusionConfig:
     # below this (the schedule above is the cap; warm-started frames
     # typically converge in a fraction of it). 0 disables.
     icp_step_tol: float = 1e-5
+    # Residual-row stride at the FINEST ICP level (1 = every pixel, the
+    # reference's behavior). The finest level's 6x6 system is built from
+    # ~77k rows for 6 dof at the bench shape; stride 2 keeps ~19k rows and
+    # full-resolution association targets (solvers/icp.py) — the
+    # level's per-iteration cost drops ~4x.
+    icp_finest_stride: int = 1
 
     # TSDF integration
     tsdf_trunc_dist: float = 0.04    # meters
@@ -128,7 +134,9 @@ class DynamicFusionConfig:
     # window bands span [nearest foreground, farthest background] and a few
     # such rays set the whole march's trip count; capped rays that would
     # only hit past the cap miss instead (background behind a silhouette).
-    # For tracking maps only — final renders get the full band.
+    # NOTE: render_state reuses the (capped) tracking model maps, so an
+    # enabled cap shows in the default renders too; render(pose=...) does a
+    # fresh full march with no band and is unaffected.
     raycast_band_cap: float = 0.0
     # Crossing refine: "secant" = two trilinear fetches bracketing + fused
     # Newton polish (24 gathers/pixel); "newton8" = nearest-value secant

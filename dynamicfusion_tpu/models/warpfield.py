@@ -216,7 +216,6 @@ def insert_nodes(
     via lax.cond — a saturated field is the steady state of long runs and
     the coverage test + decimation sort (~8 ms at bench shape) would buy
     nothing."""
-    cov = cfg.node_coverage
     cap = field.positions.shape[0]
 
     return jax.lax.cond(

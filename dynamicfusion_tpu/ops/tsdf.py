@@ -414,9 +414,7 @@ def raycast(
         # incidence); variant (2) Newton'd from the bracket START (+-1
         # plateau, ~zero local gradient). Here Newton starts at the
         # secant's near-surface point, where the in-cell trilinear gradient
-        # is the real surface slope. 24 -> 8 gathers of refine cost;
-        # validated against the secant path on the deforming-sphere quality
-        # bench and the rigid-tracking tests before becoming the default.
+        # is the real surface slope. 24 -> 8 gathers of refine cost.
         f0, f1 = st["f0"], st["f1"]
         denom0 = f0 - f1
         alpha = jnp.clip(

@@ -241,10 +241,16 @@ def step(
     pose = jnp.where(icp_res.ok, pose, state.pose)
 
     if cfg.rigid_only:
-        # plain KinectFusion: rigid integrate + raycast, identity warp
+        # plain KinectFusion: rigid integrate + raycast, identity warp.
+        # Integration is gated on ICP health like the non-rigid path (the
+        # reference aborts the frame before fusing, kinfu.cpp:276-277).
         vol2cam = se3.compose(se3.inverse(pose), _vol_pose(cfg))
-        vol, bcounts = tsdf_ops.integrate(
-            cfg, state.vol, dists, vol2cam, cfg.intr, with_counts=True
+        vol, bcounts = jax.lax.cond(
+            icp_res.ok,
+            lambda: tsdf_ops.integrate(
+                cfg, state.vol, dists, vol2cam, cfg.intr, with_counts=True
+            ),
+            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
         )
         (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
             cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists)
@@ -336,7 +342,7 @@ def step(
     # random-walks to tracking failure; see warp_solver.rigid_prealign)
     if cfg.solver_rigid_prealign:
         t_pre = warp_solver.rigid_prealign(cfg, state.warp, inputs)
-        pose = se3.compose(t_pre, pose)
+        pose = jnp.where(icp_res.ok, se3.compose(t_pre, pose), pose)
         inputs = inputs._replace(
             p_live=se3.transform_points(t_pre, inputs.p_live),
             n_live=se3.rotate_dirs(t_pre, inputs.n_live),
@@ -354,6 +360,18 @@ def step(
         warp = warpfield.remove_net_rigid(
             state.warp, warp, alpha=cfg.solver_net_rigid_alpha
         )
+    # ---- 4b. ICP-health gate ----
+    # A frame whose rigid tracking failed must leave the model UNTOUCHED —
+    # the on-device equivalent of the reference's frame abort
+    # (kinfu.cpp:276-277, which resets before any fusion). The solve above
+    # still executed (its system_fn may be a shard_map, which cannot sit
+    # inside lax.cond without pathological SPMD compiles — see CLAUDE.md),
+    # but its result is discarded; fusion and node insertion below are
+    # predicated on icp_ok, so the volume and warp field carry over
+    # bit-identical and the driver's explicit-reset contract still holds.
+    warp = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(icp_res.ok, new, old), warp, state.warp
+    )
 
     # the frame's ONE exact KNN+DQB evaluation of the solved field, shared
     # by fusion (voxel warp + observation quality) and the model-map warp
@@ -366,27 +384,25 @@ def step(
         dq_grid, q_grid = None, None
 
     # ---- 5. non-rigid fusion into the canonical volume ----
-    if cfg.fusion_interval > 1:
-        # skip integration on off-frames (tracking/solve still ran against
-        # the existing model); lax.cond executes only the taken branch
-        vol, bcounts = jax.lax.cond(
-            state.frame_idx % cfg.fusion_interval == 0,
-            lambda: fusion.integrate_nonrigid(
-                cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
-                with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-            ),
-            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
-        )
-    else:
-        vol, bcounts = fusion.integrate_nonrigid(
+    # gated on ICP health (see 4b) and the fusion interval; lax.cond
+    # executes only the taken branch
+    fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
+    vol, bcounts = jax.lax.cond(
+        fuse_now,
+        lambda: fusion.integrate_nonrigid(
             cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
             with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-        )
+        ),
+        lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
+    )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
+    # candidates come from a failed frame's stale association — masked out
+    # wholesale when ICP failed (see 4b)
     ins = cfg.node_insert_stride if full_scale else 1
     warp = warpfield.insert_nodes(
-        cfg, warp, inputs.p_can[::ins], ~jnp.isnan(sub(can_pts_w)[::ins, 0])
+        cfg, warp, inputs.p_can[::ins],
+        icp_res.ok & ~jnp.isnan(sub(can_pts_w)[::ins, 0]),
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----

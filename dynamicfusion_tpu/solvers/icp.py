@@ -45,8 +45,13 @@ def _build_system(
     dist2_thres: float,
     min_cosine: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One linearization: masked per-pixel rows -> (A, b) of J^T J x = J^T r."""
-    rows, cols = curr_pts.shape[:2]
+    """One linearization: masked per-pixel rows -> (A, b) of J^T J x = J^T r.
+
+    ``curr_*`` and ``prev_*`` may differ in resolution: residual rows come
+    from the CURRENT pixels (possibly a strided subset — cfg.icp_finest_
+    stride), while projective association always targets the full previous/
+    model maps, whose shape defines the image bounds."""
+    rows, cols = prev_pts.shape[:2]
 
     s = se3.transform_points(t_cur, curr_pts)
     valid_s = ~jnp.isnan(curr_pts[..., 0])
@@ -129,6 +134,15 @@ def estimate_transform(
         intr_l = cfg.intr.level(level + level_offset)
         cp, cn = curr_pts_pyr[level], curr_nrm_pyr[level]
         pp, pn = prev_pts_pyr[level], prev_nrm_pyr[level]
+        if level == 0 and cfg.icp_finest_stride > 1:
+            # residual-row subsampling at the finest level only: the 6-dof
+            # system is massively overdetermined there (~77k rows for 6
+            # unknowns at the bench shape); a strided pixel subset keeps
+            # the full-resolution model maps as association TARGETS (the
+            # intrinsics and bounds in _build_system come from prev), so
+            # only the row count drops, not the association accuracy
+            st = cfg.icp_finest_stride
+            cp, cn = cp[::st, ::st], cn[::st, ::st]
 
         def gn_iter(st, cp=cp, cn=cn, pp=pp, pn=pn, intr_l=intr_l):
             i, t, _, _ = st
