@@ -123,6 +123,7 @@ def run_quality(cfg, n, noise, seed=0):
         "p95_mm": round(p95_mm, 3),
         "voxel_mm": round(voxel_mm, 3),
         "frames": n,
+        "seed": seed,
         "surface_points": int(len(pts)),
         "device": str(jax.devices()[0]),
     }
@@ -146,6 +147,8 @@ def main():
     ap.add_argument("--noise", action="store_true",
                     help="with --quality: apply the Kinect sensor-noise model "
                          "(io.synthetic.kinect_noise) to every input frame")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="noise-model seed base for --quality runs")
     ap.add_argument("--no-quality", action="store_true",
                     help="skip the quality line the default run emits "
                          "alongside the fps line (faster iteration)")
@@ -156,7 +159,11 @@ def main():
 
     cfg = build_cfg(args)
     if args.rigid:
-        cfg = dataclasses.replace(cfg, rigid_only=True)
+        # rigid tracking depends directly on raycast crossing accuracy;
+        # the newton8 refine's grazing-incidence bias measurably hurts it
+        # (config.raycast_refine) — rigid mode runs the secant refine,
+        # like the default_kinfu preset
+        cfg = dataclasses.replace(cfg, rigid_only=True, raycast_refine="secant")
     if args.set:
         import ast
 
@@ -170,7 +177,7 @@ def main():
             over[k] = v
         cfg = dataclasses.replace(cfg, **over)
     if args.quality:
-        run_quality(cfg, args.frames, args.noise)
+        run_quality(cfg, args.frames, args.noise, seed=args.seed)
         return
     df = kinfu.DynamicFusion(cfg)
     seq = frames(cfg, args.frames + 2)

@@ -108,9 +108,14 @@ class DynamicFusionConfig:
     # Tracking/model raycast resolution divisor: rays marched at
     # (rows/s, cols/s). Random volume gathers are the raycast cost on TPU;
     # the model maps feed ICP (which gains a matching level shift) and the
-    # warp solver (which subsamples anyway), so s=2 trades ~4x raycast cost
-    # for a sub-pixel tracking resolution loss. 1 = reference-exact.
-    raycast_subsample: int = 2
+    # warp solver (which subsamples anyway). 1 = reference-exact.
+    # Measured (v5e, bench shape, round 3): s=4 is 44 ms/frame faster than
+    # s=2 with BETTER quality on the deforming-sphere bench (noise on,
+    # median 1.14 vs 1.34 mm, p95 3.7 vs 4.1 at 10 frames; p95 13.4 vs
+    # 20.4 mm on the 25-frame noiseless tail run) — the solver's residual
+    # set is stride-subsampled to the same ~19k points either way, and
+    # ICP at 160x120 still has ~3000x redundancy for 6 dof.
+    raycast_subsample: int = 4
     # Seed the tracking raycast's march from the live frame's dists map:
     # seeded rays march only [seed - m, seed + m] instead of the whole
     # volume (~30% fewer march gathers). 0 disables (default): rays whose
@@ -136,11 +141,26 @@ class DynamicFusionConfig:
     # only hit past the cap miss instead (background behind a silhouette).
     # NOTE: render_state reuses the (capped) tracking model maps, so an
     # enabled cap shows in the default renders too; render(pose=...) does a
-    # fresh full march with no band and is unaffected.
-    raycast_band_cap: float = 0.0
+    # fresh full march with no band and is unaffected. Measured -15 ms at
+    # bench shape with raycast_subsample=2 (quality-neutral); only active
+    # when the coarse-band prepass runs. Scaled to the scene: 0.25 m suits
+    # the 1 m dynamicfusion volume; default_kinfu (3 m) disables it.
+    raycast_band_cap: float = 0.25
     # Crossing refine: "secant" = two trilinear fetches bracketing + fused
-    # Newton polish (24 gathers/pixel); "newton8" = nearest-value secant
-    # start + ONE fused value/gradient fetch + clamped Newton (8 gathers).
+    # Newton polish (24 gathers/pixel); "newton16" = nearest-value secant
+    # start + TWO fused value/gradient fetches with clamped Newton steps
+    # (16 gathers); "newton8" = one such fetch (8 gathers).
+    # Measured (v5e, round 3): newton8 is 23 ms/frame faster than secant
+    # at bench shape with raycast_subsample=2 (~6 ms at the default
+    # subsample=4) and quality-neutral on the noise-on NON-rigid
+    # deforming-sphere bench — but both Newton variants inherit a
+    # grazing-incidence crossing bias from relying on the LOCAL in-cell
+    # gradient (nearly zero along shallow rays), which breaks RIGID
+    # tracking at coarse volumes: 64^3 orbit test pose error 37 mm
+    # (newton8) / 44 mm (newton16) vs 3.5 mm secant. The secant's
+    # average-slope-over-the-bracket is immune. Default stays secant;
+    # the Newton variants are for non-rigid fine-volume runs where the
+    # raycast is hot and the warp solve absorbs the residual bias.
     raycast_refine: str = "secant"
     # True = the reference's six-sample central-difference normals
     # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
@@ -287,10 +307,20 @@ class DynamicFusionConfig:
     # Fuse depth into the volume only every Nth frame (1 = every frame).
     # Tracking and the warp solve still run per frame against the existing
     # model; skipped frames' observations are simply not integrated —
-    # halves the ~30-40 ms integrate cost at interval 2 at the price of
-    # half the observation count (slower weight saturation, more per-
-    # observation noise retained).
-    fusion_interval: int = 1
+    # measured -16 ms/frame average at interval 2 (v5e bench shape) at the
+    # price of half the observation count (slower weight saturation, more
+    # per-observation noise retained — quality measured neutral at 10 and
+    # 20 noise-on bench frames).
+    fusion_interval: int = 2
+
+    # Minimum observation evidence (summed fusion weight) for a voxel to
+    # claim surface in extraction/meshing (ops/tsdf.extract_cloud,
+    # io/export.extract_mesh). The reference extracts at weight > 0;
+    # grazing-incidence silhouette voxels observed once or twice carry
+    # multi-voxel crossing error and were the ENTIRE p95 tail of the
+    # quality bench (diag_tail round 3: tail 100% at |cos incidence|<0.2,
+    # weight<4). 2.0 keeps anything confirmed by a second observation.
+    extract_min_weight: float = 2.0
 
     # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -327,8 +357,16 @@ class DynamicFusionConfig:
 
     @classmethod
     def default_dynamicfusion(cls) -> "DynamicFusionConfig":
-        """The reference's dynamicfusion preset (kinfu.cpp:14-49)."""
-        return cls()
+        """The reference's dynamicfusion preset (kinfu.cpp:14-49).
+
+        Uses the newton8 raycast refine: on the NON-rigid pipeline it is
+        41 ms/frame faster than secant at the bench shape (130.4 vs
+        171.9 ms — mostly downstream: its model maps agree better with the
+        raw-depth solve targets, so the warm-started LM/ICP loops exit
+        earlier) and posted the best quality-battery numbers of round 3
+        (median 0.87-1.28 mm, p95 2.2-3.7 mm, noise on, seeds 0-5). Rigid
+        pipelines keep the secant default — see raycast_refine."""
+        return cls(raycast_refine="newton8")
 
     @classmethod
     def reference_parity(cls) -> "DynamicFusionConfig":
@@ -354,11 +392,19 @@ class DynamicFusionConfig:
             volume_dims=512,
             volume_size=3.0,
             volume_origin=(-1.5, -1.5, 0.5),
+            # 3 m scenes: a 0.25 m band cap would clip legitimate background
+            raycast_band_cap=0.0,
         )
 
     @classmethod
     def small(cls, dims: int = 64, rows: int = 120, cols: int = 160) -> "DynamicFusionConfig":
-        """A scaled-down preset for tests: same structure, tiny shapes."""
+        """A scaled-down preset for tests: same structure, tiny shapes.
+
+        Pins the resolution/caching levers the full-scale defaults tune for
+        throughput (raycast_subsample, fusion_interval, band cap, evidence
+        threshold): at test shapes those would change what the tests
+        measure, not how fast; tests that target a lever set it
+        explicitly."""
         scale = cols / 640.0
         return cls(
             rows=rows,
@@ -369,4 +415,8 @@ class DynamicFusionConfig:
             node_sample_step=11,
             solver_linear_iters=32,
             knn_field_stride=2,
+            raycast_subsample=2,
+            raycast_band_cap=0.0,
+            fusion_interval=1,
+            extract_min_weight=1e-6,
         )

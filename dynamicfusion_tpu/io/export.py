@@ -104,13 +104,16 @@ def marching_tetrahedra(
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     iso: float = 0.0,
     weld_decimals: int = 5,
+    min_weight: float = 1e-6,
 ) -> Mesh:
     """Extract the iso-surface triangle mesh from a (D,D,D) TSDF.
 
-    Only cubes whose 8 corners are all observed (weight > 0) and straddle
-    the iso value are processed (same validity rule as the reference's
-    cloud extraction, tsdf_volume.cu:541-551). Returns an indexed mesh with
-    welded vertices and gradient normals; faces are wound so geometric
+    Only cubes whose 8 corners are all observed (weight >= min_weight) and
+    straddle the iso value are processed (the reference's validity rule is
+    weight > 0, tsdf_volume.cu:541-551; pipeline callers pass
+    cfg.extract_min_weight — see ops/tsdf.extract_cloud for why single-
+    observation voxels shouldn't claim surface). Returns an indexed mesh
+    with welded vertices and gradient normals; faces are wound so geometric
     normals point toward positive TSDF (outside)."""
     tsdf = np.asarray(tsdf, np.float32)
     weight = np.asarray(weight, np.float32)
@@ -121,7 +124,7 @@ def marching_tetrahedra(
         return a[off[0]:off[0] + d - 1, off[1]:off[1] + d - 1, off[2]:off[2] + d - 1]
 
     vals8 = np.stack([corner(tsdf, o) for o in _CUBE], axis=-1)    # (d-1)^3 x 8
-    obs8 = np.stack([corner(weight, o) > 0 for o in _CUBE], axis=-1)
+    obs8 = np.stack([corner(weight, o) >= min_weight for o in _CUBE], axis=-1)
     active = obs8.all(-1) & (vals8.min(-1) < iso) & (vals8.max(-1) > iso)
     ci, cj, ck = np.nonzero(active)
     if len(ci) == 0:
@@ -193,6 +196,7 @@ def extract_mesh(cfg, vol, iso: float = 0.0) -> Mesh:
         cfg.voxel_size,
         cfg.volume_origin,
         iso=iso,
+        min_weight=cfg.extract_min_weight,
     )
 
 

@@ -362,7 +362,7 @@ def raycast(
         dt_hit=jnp.full((rows, cols), step, jnp.float32),
         tsdf_prev=tsdf0,
     )
-    if cfg.raycast_refine == "newton8":
+    if cfg.raycast_refine in ("newton8", "newton16"):
         state["f0"] = jnp.ones((rows, cols), jnp.float32)
         state["f1"] = -jnp.ones((rows, cols), jnp.float32)
 
@@ -404,33 +404,43 @@ def raycast(
     st = jax.lax.while_loop(cond, body, state)
     found, t_hit, dt_hit = st["found"], st["t_hit"], st["dt_hit"]
 
-    if cfg.raycast_refine == "newton8":
-        # 8-gather refine: the NEAREST-fetched bracket endpoint values from
-        # the march (free) give a secant estimate INSIDE the band; ONE
-        # fused value+gradient fetch there runs a Newton step (clamped to
-        # the bracket) and yields the normal. Differs from the two REJECTED
-        # variants documented on the secant path below: variant (1) used
-        # the nearest-secant POINT directly (plane bias at grazing
-        # incidence); variant (2) Newton'd from the bracket START (+-1
-        # plateau, ~zero local gradient). Here Newton starts at the
+    if cfg.raycast_refine in ("newton8", "newton16"):
+        # 8/16-gather refine: the NEAREST-fetched bracket endpoint values
+        # from the march (free) give a secant estimate INSIDE the band;
+        # fused value+gradient fetches there run clamped Newton steps (one
+        # for newton8, two for newton16) and yield the normal. Differs from
+        # the two REJECTED variants documented on the secant path below:
+        # variant (1) used the nearest-secant POINT directly (plane bias at
+        # grazing incidence); variant (2) Newton'd from the bracket START
+        # (+-1 plateau, ~zero local gradient). Here Newton starts at the
         # secant's near-surface point, where the in-cell trilinear gradient
-        # is the real surface slope. 24 -> 8 gathers of refine cost.
+        # is the real surface slope.
+        #
+        # newton8 caveat (measured, round 3): the nearest-fetched f0/f1
+        # carry +-half-voxel error, and at grazing incidence dfdt ~ 0 makes
+        # the single Newton step clamp out — a systematic crossing bias
+        # that breaks rigid tracking at coarse volumes (64^3 orbit test:
+        # 37 mm pose error vs 3.5 mm secant). The SECOND fused fetch of
+        # newton16 re-linearizes at the corrected point and removes the
+        # bias (pose error matches secant) at 16 vs 24 gathers.
         f0, f1 = st["f0"], st["f1"]
         denom0 = f0 - f1
         alpha = jnp.clip(
             f0 / jnp.where(jnp.abs(denom0) > 1e-12, denom0, 1e-12), 0.0, 1.0
         )
         ts = t_hit + dt_hit * alpha
-        p0 = (ray_org + dirs * ts[..., None]) * inv_vs
-        f_v, normal_vol = interpolate_with_gradient(tsdf, p0)
-        dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
-        ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
-        good2 = (
-            jnp.isfinite(ts2)
-            & (jnp.abs(ts2 - ts) < dt_hit)
-            & ~jnp.isnan(f_v)
-        )
-        ts = jnp.where(good2, ts2, ts)
+        n_newton = 2 if cfg.raycast_refine == "newton16" else 1
+        for _ in range(n_newton):
+            p0 = (ray_org + dirs * ts[..., None]) * inv_vs
+            f_v, normal_vol = interpolate_with_gradient(tsdf, p0)
+            dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
+            ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
+            good2 = (
+                jnp.isfinite(ts2)
+                & (jnp.abs(ts2 - ts) < dt_hit)
+                & ~jnp.isnan(f_v)
+            )
+            ts = jnp.where(good2, ts2, ts)
         vertex_vol = ray_org + dirs * ts[..., None]
         if cfg.raycast_smooth_normals:
             grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
@@ -539,18 +549,29 @@ class ExtractedCloud(NamedTuple):
 
 
 def extract_cloud(
-    cfg: DynamicFusionConfig, vol: TsdfVolume, max_points: int
+    cfg: DynamicFusionConfig, vol: TsdfVolume, max_points: int,
+    min_weight: float | None = None,
 ) -> ExtractedCloud:
     """Zero-crossing surface cloud in world coordinates.
 
     Replaces FullScan6 (tsdf_volume.cu:486-706): for each voxel and each of
     the +x/+y/+z neighbors, where both voxels are observed and the tsdf
     changes sign, emit the linearly interpolated crossing. Compaction is
-    ``jnp.nonzero(..., size=max_points)`` — static output shape, padded."""
+    ``jnp.nonzero(..., size=max_points)`` — static output shape, padded.
+
+    ``min_weight`` (None -> cfg.extract_min_weight) is the minimum
+    observation evidence for a voxel to claim surface. The reference
+    requires weight > 0 (any single observation); grazing-incidence
+    silhouette voxels observed 1-2 times carry ~3 voxels of crossing error
+    and were the entire p95 tail of the quality bench (scripts/diag_tail.py:
+    tail is 100%% at |cos incidence| < 0.2 and weight < 4). Callers that
+    need single-observation surface (frame-0 node sampling, where every
+    weight is exactly 1) pass min_weight=1."""
     d = cfg.volume_dims
     vs = cfg.voxel_size
     tsdf = vol.tsdf.astype(jnp.float32)
     w = vol.weight
+    mw = cfg.extract_min_weight if min_weight is None else min_weight
 
     pts_list = []
     valid_list = []
@@ -559,7 +580,7 @@ def extract_cloud(
         t1 = jax.lax.slice_in_dim(tsdf, 1, d, axis=axis)
         w0 = jax.lax.slice_in_dim(w, 0, d - 1, axis=axis)
         w1 = jax.lax.slice_in_dim(w, 1, d, axis=axis)
-        cross = (w0 > 0) & (w1 > 0) & (t0 * t1 < 0)
+        cross = (w0 >= mw) & (w1 >= mw) & (t0 * t1 < 0)
         alpha = t0 / jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 - t1, 1e-12)
 
         shape = cross.shape

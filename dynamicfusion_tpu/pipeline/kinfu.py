@@ -185,7 +185,11 @@ def first_frame(cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.nd
     vol2cam = se3.compose(se3.inverse(state.pose), _vol_pose(cfg))
     vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
 
-    cloud = tsdf_ops.extract_cloud(cfg, vol, max_points=cfg.max_nodes * cfg.node_sample_step)
+    # min_weight=1: after the single frame-0 integrate every observed voxel
+    # has weight exactly 1 — the evidence threshold would sample no nodes
+    cloud = tsdf_ops.extract_cloud(
+        cfg, vol, max_points=cfg.max_nodes * cfg.node_sample_step, min_weight=1.0
+    )
     warp = warpfield.init_from_cloud(cfg, cloud.points, cloud.valid)
 
     (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(

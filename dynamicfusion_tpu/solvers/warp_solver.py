@@ -514,7 +514,13 @@ def edge_jtj(
 
     # off-diagonal blocks, placed DIRECTLY in the final (n, a, m, b)
     # layout: (i,j) and its (j,i) transpose are the same einsum with
-    # permuted output indices; the diagonal embeds via an eye one-hot
+    # permuted output indices; the diagonal embeds via an eye one-hot.
+    # REJECTED round-3 variant (measured, do not revisit): one placement
+    # einsum + `off + off.T` + a unique-index diagonal scatter-add looks
+    # like 1/3 of the 151 MB writes on paper but measured +40 ms on the
+    # whole frame (171.9 vs 131.7 ms) — the (6144,6144) transpose-add and
+    # the advanced-index scatter both break XLA's fusion of the placement
+    # into the downstream add, while the three pure einsums below fuse.
     oh_dr = oh_d.reshape(n_nodes, c, n_nodes)
     hij_r = h_ij.reshape(n_nodes, c, 6, 6)
     full = jnp.einsum(

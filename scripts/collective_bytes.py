@@ -72,8 +72,11 @@ def tensor_bytes(sig: str) -> int:
 
 
 def census(hlo: str):
-    """Group collective ops by (kind, per-device payload bytes)."""
+    """Group collective ops by (kind, per-device payload bytes); keep the
+    op_name metadata (the jax source path) of each group's first instance
+    so every byte is attributable."""
     out = collections.Counter()
+    names = {}
     for line in hlo.splitlines():
         m = re.search(r"=\s+(\([^)]*\)|\S+)\s+(" + "|".join(COLLECTIVES) + r")\(", line)
         if not m:
@@ -82,8 +85,12 @@ def census(hlo: str):
         # all-reduce-start/done pairs: count the start only
         if "-done" in line.split("=")[0]:
             continue
-        out[(kind, tensor_bytes(sig))] += 1
-    return out
+        key = (kind, tensor_bytes(sig))
+        out[key] += 1
+        nm = re.search(r'op_name="([^"]*)"', line)
+        if nm and key not in names:
+            names[key] = nm.group(1)[-120:]
+    return out, names
 
 
 def main():
@@ -120,14 +127,17 @@ def main():
           f"{args.nodes} nodes in {time.time()-t0:.0f}s", flush=True)
 
     hlo = compiled.as_text()
-    c = census(hlo)
+    c, names = census(hlo)
 
     rows = []
     total = 0
     for (kind, nbytes), count in sorted(c.items(), key=lambda kv: -kv[0][1]):
-        rows.append({"op": kind, "payload_bytes": nbytes, "count": count})
+        src = names.get((kind, nbytes), "")
+        rows.append({"op": kind, "payload_bytes": nbytes, "count": count,
+                     "src": src})
         total += nbytes * count
-        print(f"  {kind:22s} {nbytes/1e6:10.3f} MB/device  x{count}", flush=True)
+        print(f"  {kind:22s} {nbytes/1e6:10.3f} MB/device  x{count}  {src}",
+              flush=True)
     print(f"static total (one execution of every op): {total/1e6:.1f} MB/device")
 
     result = {

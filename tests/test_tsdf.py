@@ -109,6 +109,34 @@ def test_raycast_sphere_geometry():
     assert pts[cy, cx, 2] == pytest.approx(SPHERE_C[2] - SPHERE_R, abs=2 * CFG.voxel_size)
 
 
+@pytest.mark.parametrize("refine", ["newton8", "newton16"])
+def test_raycast_newton_refines(refine):
+    """The experimental Newton refine variants (8/16 gathers vs the
+    secant's 24) recover the sphere to the same tolerance AWAY from
+    grazing incidence. Their known failure mode — crossing bias where the
+    local along-ray gradient vanishes (grazing rays) — is why the default
+    stays "secant" (see config.raycast_refine); this test pins the
+    non-grazing behavior so the options stay usable."""
+    import dataclasses
+
+    vol = _integrated_sphere()
+    cfg = dataclasses.replace(CFG, raycast_refine=refine)
+    res = tsdf_ops.raycast(cfg, vol, _cam2vol(se3.identity()), cfg.intr, cfg.rows, cfg.cols)
+    pts = np.asarray(res.points)
+    valid = ~np.isnan(pts[..., 0])
+    assert valid.sum() > 500
+    c = np.asarray(SPHERE_C)
+    rel = pts[valid] - c
+    rr = np.linalg.norm(rel, axis=-1)
+    # non-grazing: |cos| between outward normal (radial) and view ray
+    vdir = pts[valid] / np.maximum(np.linalg.norm(pts[valid], axis=-1, keepdims=True), 1e-9)
+    cos_inc = np.abs(np.sum(vdir * rel / np.maximum(rr[:, None], 1e-9), axis=-1))
+    frontal = cos_inc > 0.5
+    r_err = np.abs(rr - SPHERE_R)
+    assert np.median(r_err[frontal]) < CFG.voxel_size
+    assert np.percentile(r_err[frontal], 95) < 3 * CFG.voxel_size
+
+
 def test_raycast_from_moved_camera():
     # integrate from identity, raycast from a slightly rotated pose: the
     # returned points are in the *new camera's* frame.
