@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynamicfusion_tpu.config import DynamicFusionConfig
-from dynamicfusion_tpu.parallel import distributed_gn
+from dynamicfusion_tpu.parallel import distributed_gn, sharded_fusion
 from dynamicfusion_tpu.pipeline import kinfu
 
 
@@ -89,10 +89,20 @@ def make_sharded_step(
         if use_explicit and cfg.solver_lagged_jtj
         else None
     )
+    # per-shard-brick non-rigid fusion (zero collectives — the GSPMD
+    # partitioning of the global-brick-id gathers costs ~205 MB of
+    # all-reduce per fused frame at the bench shape, see SCALING.md)
+    integrate_fn = (
+        sharded_fusion.make_sharded_integrate(cfg, mesh, axis)
+        if use_explicit and cfg.integrate_mode == "brick"
+        and (cfg.volume_dims // mesh.shape[axis]) % cfg.brick_size == 0
+        else None
+    )
 
     def _step(state, depth):
         state, out = kinfu.step(
-            cfg, state, depth, warp_system_fn=system_fn, warp_eval_fn=eval_fn
+            cfg, state, depth, warp_system_fn=system_fn, warp_eval_fn=eval_fn,
+            integrate_fn=integrate_fn,
         )
         return state, out
 

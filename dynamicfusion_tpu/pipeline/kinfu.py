@@ -20,6 +20,7 @@ Intentional fixes vs the reference (SURVEY §2.9):
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -213,6 +214,7 @@ def step(
     depth_mm: jnp.ndarray,
     warp_system_fn=None,
     warp_eval_fn=None,
+    integrate_fn=None,
 ) -> Tuple[PipelineState, StepOutputs]:
     """One full DynamicFusion frame (KinFu::operator() + dynamicfusion()).
 
@@ -221,7 +223,11 @@ def step(
     passes parallel.distributed_gn.make_system_fn here so the GN assembly
     runs through the explicit shard_map+psum Schur reduction instead of
     whatever GSPMD infers. ``warp_eval_fn``: its lagged-JtJ companion
-    (distributed_gn.make_eval_fn)."""
+    (distributed_gn.make_eval_fn). ``integrate_fn``: optional non-rigid
+    fusion override (parallel.sharded_fusion.make_sharded_integrate —
+    per-shard brick lists, zero collectives); it receives the fusion gate
+    as ``enabled`` and masks internally instead of the lax.cond below
+    (shard_map under lax.cond is SPMD-partitioner poison, CLAUDE.md)."""
     shift = cfg.raycast_shift
     stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
 
@@ -391,14 +397,21 @@ def step(
     # gated on ICP health (see 4b) and the fusion interval; lax.cond
     # executes only the taken branch
     fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
-    vol, bcounts = jax.lax.cond(
-        fuse_now,
-        lambda: fusion.integrate_nonrigid(
+    if integrate_fn is not None:
+        vol, bcounts = integrate_fn(
             cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
             with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-        ),
-        lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
-    )
+            enabled=fuse_now,
+        )
+    else:
+        vol, bcounts = jax.lax.cond(
+            fuse_now,
+            lambda: fusion.integrate_nonrigid(
+                cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
+                with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
+            ),
+            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
+        )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----
     # candidates come from a failed frame's stale association — masked out
@@ -440,6 +453,16 @@ def step(
     return new_state, outputs
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_first(cfg: DynamicFusionConfig):
+    return jax.jit(lambda s, d: first_frame(cfg, s, d))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_step(cfg: DynamicFusionConfig):
+    return jax.jit(lambda s, d: step(cfg, s, d))
+
+
 class DynamicFusion:
     """Host-side driver: owns the jitted step functions and the state.
 
@@ -450,8 +473,8 @@ class DynamicFusion:
     def __init__(self, cfg: DynamicFusionConfig):
         self.cfg = cfg
         self.state = init_state(cfg)
-        self._first = jax.jit(lambda s, d: first_frame(cfg, s, d))
-        self._step = jax.jit(lambda s, d: step(cfg, s, d))
+        self._first = _jitted_first(cfg)
+        self._step = _jitted_step(cfg)
         self.last_outputs: StepOutputs | None = None
         self.poses = [jnp.eye(4)]  # trajectory (KinFu::poses_, kinfu.hpp:86)
 

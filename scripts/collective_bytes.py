@@ -29,10 +29,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache")),
+# single-process-CPU-mesh cache subdir, shared with __graft_entry__'s
+# dryrun (same programs, same runtime context — see tests/conftest.py on
+# why contexts must not share a cache directory)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "cpu_mesh")
 )
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 import jax  # noqa: E402
 
@@ -102,9 +105,11 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    # base on the flagship preset so the full-shape program is IDENTICAL
+    # to __graft_entry__.dryrun_multichip's (shared compile cache)
     scale = args.cols / 640.0
     cfg = dataclasses.replace(
-        DynamicFusionConfig(),
+        DynamicFusionConfig.default_dynamicfusion(),
         rows=args.rows,
         cols=args.cols,
         volume_dims=args.dims,

@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# NO persistent compile cache for the suite (tried in round 3, reverted):
+# executing persistent-cache-served XLA-CPU SPMD executables aborts the
+# process on this jax version ("Fatal Python error: Aborted" at result
+# materialization in test_sharding) — both when sharing a cache directory
+# across runtime contexts (TPU / multi-process gloo / single-process) AND
+# with a fresh isolated directory once several sharded programs cache in
+# one run. Compile-only users (scripts/collective_bytes.py) are safe;
+# anything that EXECUTES on the virtual CPU mesh must compile fresh.
 
 import jax  # noqa: E402
 

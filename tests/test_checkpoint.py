@@ -9,10 +9,13 @@ from dynamicfusion_tpu.io import synthetic
 from dynamicfusion_tpu.pipeline import kinfu
 from dynamicfusion_tpu.utils import checkpoint
 
+# small shapes: checkpointing is state mechanics, not reconstruction —
+# 32^3/96x128 trims the suite cost of these roundtrips (48x64 is too few
+# pixels for the resume frame's ICP to stay healthy)
 CFG = dataclasses.replace(
-    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
-    max_nodes=128,
-    node_sample_step=9,
+    DynamicFusionConfig.small(dims=32, rows=96, cols=128),
+    max_nodes=64,
+    node_sample_step=5,
     solver_nonlinear_iters=1,
 )
 
@@ -50,7 +53,7 @@ def test_load_rejects_wrong_config(tmp_path):
     df(_depth())
     p = str(tmp_path / "ckpt.npz")
     checkpoint.save(p, df.state)
-    bad = dataclasses.replace(CFG, volume_dims=32)
+    bad = dataclasses.replace(CFG, volume_dims=64)
     with pytest.raises(ValueError):
         checkpoint.load(p, bad)
 

@@ -1,0 +1,96 @@
+"""Communication contract of the compiled sharded step (post-GSPMD HLO).
+
+The explicit collectives (shard_map psums) are covered op-by-op in
+test_distributed_gn; this asserts the WHOLE compiled step's budget at a
+bench-representative shape, catching GSPMD partitioning regressions —
+e.g. the round-3 finding that global-brick-id gathers in the fusion path
+made the partitioner all-reduce entire volumes (~205 MB/frame) until
+parallel.sharded_fusion made fusion communication-free.
+
+Shape: 128^3 / 320x240 / 512 nodes over 8 devices — 16-voxel slabs are
+whole brick planes, so the per-shard-brick fusion path is ACTIVE (the
+same structure the full 256^3 dryrun/census runs; scripts/
+collective_bytes.py measures the 256^3 numbers recorded in SCALING.md).
+The XLA-CPU compile here is heavy but served from the persistent cache
+(tests/conftest.py) after the first run.
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
+from dynamicfusion_tpu.parallel import sharded
+from dynamicfusion_tpu.pipeline import kinfu
+
+DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+               "collective-permute")
+
+
+def _tensor_bytes(sig):
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([0-9,]*)\]", sig):
+        if dt in DTYPE_BYTES:
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def _census(hlo):
+    out = []
+    for line in hlo.splitlines():
+        m = re.search(r"=\s+(\([^)]*\)|\S+)\s+(" + "|".join(COLLECTIVES) + r")\(", line)
+        if m and "-done" not in line.split("=")[0]:
+            out.append((m.group(2), _tensor_bytes(m.group(1))))
+    return out
+
+
+def test_step_collective_budget():
+    scale = 320 / 640.0
+    cfg = dataclasses.replace(
+        DynamicFusionConfig.default_dynamicfusion(),
+        rows=240, cols=320, volume_dims=128, max_nodes=512,
+        intr=Intrinsics(570.342 * scale, 570.342 * scale, 160.0, 120.0),
+    )
+    mesh = sharded.make_mesh(8)
+    step = sharded.make_sharded_step(cfg, mesh)
+    state = sharded.shard_state(cfg, mesh, kinfu.init_state(cfg))
+    depth = jnp.zeros((cfg.rows, cfg.cols), jnp.uint16)
+
+    hlo = step.lower(state, depth).compile().as_text()
+    ops = _census(hlo)
+
+    dof = 6 * cfg.max_nodes
+    schur = dof * dof * 4
+    vol_bytes = cfg.volume_dims ** 3 * 4
+
+    # exactly ONE Schur-round-sized all-reduce (the lagged-JtJ solver's
+    # one relinearization per solve)
+    big_ar = [b for k, b in ops if k == "all-reduce" and b >= schur]
+    assert len(big_ar) == 1, big_ar
+
+    # nothing volume-sized crosses the wire (apart from the Schur round
+    # itself, which at 512 nodes exceeds the 128^3 volume size): the
+    # fusion path fuses each shard's bricks locally (sharded_fusion),
+    # raycast/integrate halos are plane-sized collective-permutes
+    for kind, nbytes in ops:
+        if nbytes >= schur:
+            assert kind == "all-reduce" and nbytes == big_ar[0], (kind, nbytes)
+        else:
+            assert nbytes < vol_bytes, (kind, nbytes, "volume-sized collective")
+
+    # static per-execution total stays within ~1.3x the Schur round — the
+    # communication budget is the solver reduction, everything else is
+    # small (halos, depth broadcast, eval-gradient psums)
+    total = sum(b for _, b in ops)
+    assert total < 1.3 * schur + 8e6, total / 1e6

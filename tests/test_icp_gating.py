@@ -13,18 +13,13 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from dynamicfusion_tpu.config import DynamicFusionConfig
 from dynamicfusion_tpu.io import synthetic
 from dynamicfusion_tpu.pipeline import kinfu
 
-CFG = dataclasses.replace(
-    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
-    max_nodes=256,
-    node_sample_step=7,
-    solver_nonlinear_iters=2,
-    node_coverage=0.06,
-    node_radius=0.06,
-)
+# EXACTLY test_pipeline's config: the jitted step is memoized per config
+# (kinfu._jitted_step), so sharing it saves this file a full pipeline
+# compile in suite runs
+from tests.test_pipeline import CFG
 SPHERES = [dict(center=(0.0, 0.0, 0.95), radius=0.22), dict(center=(0.2, 0.1, 0.8), radius=0.1)]
 
 
@@ -63,9 +58,18 @@ def test_failed_frame_leaves_model_untouched():
     for k in before:
         np.testing.assert_array_equal(before[k], after[k], err_msg=k)
 
-    # the following good frame tracks again against the intact model
-    assert df(_depth(3.0))
-    np.testing.assert_allclose(np.asarray(df.get_pose()), np.eye(4), atol=0.02)
+    # the following good frame processes healthily against the intact model
+    assert df(_depth(2.2))
+
+    # ...and the degenerate frame was a TRUE no-op: an identical sequence
+    # without it ends in the bit-identical state (the reference's frame
+    # abort semantics, kinfu.cpp:276-277)
+    ref = kinfu.DynamicFusion(CFG)
+    for t in (0.0, 1.0, 2.0, 2.2):
+        ref(_depth(t))
+    a, b = _snapshot(df.state), _snapshot(ref.state)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
 def test_failed_frame_rigid_mode():

@@ -34,9 +34,11 @@ def test_two_process_sharded_step():
     # flag conftest put in OUR environment so each worker gets 4
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault(
-        "JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache")
-    )
+    # NO compile cache for the workers: persistent-cache-served XLA-CPU
+    # SPMD executables can abort at execution on this jax (see
+    # tests/conftest.py), and gloo/multi-process entries must never leak
+    # into other contexts' caches
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
 
     procs = [
         subprocess.Popen(
