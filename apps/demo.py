@@ -55,7 +55,7 @@ def frame_source(args, cfg):
     n = len(src)
     if args.frames is not None:
         n = min(args.frames, n)
-    return (f[0] for _, f in zip(range(n), src)), n
+    return ((f[0], f[1]) for _, f in zip(range(n), src)), n
 
 
 def main():
@@ -86,7 +86,7 @@ def main():
         os.makedirs(args.out, exist_ok=True)
 
     t_start = time.time()
-    for i, depth in enumerate(frames):
+    for i, (depth, color) in enumerate(frames):
         with timer.phase("frame", sync=None):
             ok = df(jnp.asarray(depth, jnp.uint16))
         if i > 0 and not ok:
@@ -100,6 +100,15 @@ def main():
             img = np.asarray(df.render(mode=3))
             if args.show_warp and i > 0:
                 img = render_mod.overlay_nodes(cfg, img, df.state)
+            if color is not None and color.ndim == 3 and color.shape[0] == img.shape[0]:
+                # RGB panel alongside the render — the reference shows the
+                # color stream in its own window next to the scene
+                # (demo.cpp:83-88, display-only: the algorithm is
+                # depth-only in both implementations)
+                img = np.concatenate(
+                    [np.ascontiguousarray(color[..., :3], dtype=np.uint8), img],
+                    axis=1,
+                )
             from PIL import Image
 
             Image.fromarray(img).save(os.path.join(args.out, f"frame_{i:05d}.png"))

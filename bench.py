@@ -76,20 +76,24 @@ def frames(cfg, n):
 
 
 def run_quality(cfg, n, noise, seed=0):
-    """Reconstruct a deforming sphere; the canonical model must match the
-    t=0 analytic sphere. Prints + returns the median absolute surface error
-    (mm). vs_baseline = voxel_size / error (>= 1 means sub-voxel accuracy,
-    the parity class the reference's visual validation implies)."""
+    """Reconstruct a deforming sphere (or, in rigid mode, a static one);
+    the canonical model must match the t=0 analytic sphere. Prints +
+    returns the median absolute surface error (mm). vs_baseline =
+    voxel_size / error (>= 1 means sub-voxel accuracy, the parity class
+    the reference's visual validation implies)."""
     from dynamicfusion_tpu.ops import tsdf as tsdf_ops
 
     center, radius = (0.0, 0.0, 0.9), 0.25
     df = kinfu.DynamicFusion(cfg)
     for t in range(n):
         # deforming sphere over a static background (an off-axis sphere +
-        # plane) — the background conditions all 6 ICP dof, like real scenes
+        # plane) — the background conditions all 6 ICP dof, like real
+        # scenes. Rigid mode reconstructs the STATIC sphere instead (no
+        # warp field to absorb deformation).
         sphere = synthetic.deforming_sphere_depth(
-            cfg.intr, cfg.rows, cfg.cols, t=0.35 * t, center=center,
-            radius=radius, amp=0.04,
+            cfg.intr, cfg.rows, cfg.cols,
+            t=0.0 if cfg.rigid_only else 0.35 * t, center=center,
+            radius=radius, amp=0.0 if cfg.rigid_only else 0.04,
         )
         bg = synthetic.scene_depth(
             cfg.intr, cfg.rows, cfg.cols,
@@ -115,7 +119,8 @@ def run_quality(cfg, n, noise, seed=0):
     p95_mm = float(np.percentile(err, 95)) * 1000.0
     voxel_mm = cfg.voxel_size * 1000.0
     result = {
-        "metric": "canonical_reconstruction_error_mm"
+        "metric": ("rigid_" if cfg.rigid_only else "")
+                  + "canonical_reconstruction_error_mm"
                   + ("_kinect_noise" if noise else ""),
         "value": round(med_mm, 3),
         "unit": "mm (median |surface - analytic|, deforming sphere)",
@@ -219,8 +224,8 @@ def main():
     # quality line (Kinect noise ON) rides along with every default run so
     # the per-round BENCH artifacts record throughput AND quality; printed
     # BEFORE the fps line — the driver parses the last line as the headline
-    # metric. Skipped in --rigid mode (no deformation to reconstruct).
-    if not (args.rigid or args.no_quality or args.small):
+    # metric. --rigid reconstructs a static sphere instead.
+    if not (args.no_quality or args.small):
         run_quality(cfg, max(args.frames, 10), noise=True)
     print(json.dumps(result))
 

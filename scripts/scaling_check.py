@@ -7,6 +7,10 @@ compiles, executes, and produces identical results across mesh sizes — and
 reports per-mesh wall-clock on host CPUs (NOT a TPU performance statement;
 CPU meshes share host cores, so efficiency numbers are illustrative only).
 
+The QUANTITATIVE scaling story lives in SCALING.md: collective-byte
+census of the compiled step (scripts/collective_bytes.py) + an ICI/DCN
+efficiency model from measured single-chip frame time.
+
 Usage: python scripts/scaling_check.py
 """
 
