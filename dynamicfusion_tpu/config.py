@@ -304,6 +304,16 @@ class DynamicFusionConfig:
     # their DQB blend is a normalized near-zero sum (garbage transform) and
     # fusing through it smears the canonical model.
     fusion_quality_min: float = 0.01
+    # Weight each fused observation by |cos| of the live surface normal
+    # against the viewing ray (the KinectFusion-family incidence weight;
+    # the reference and the paper use uniform weights). Grazing-incidence
+    # depth carries large along-ray error — exactly the silhouette-ring
+    # voxels diag_tail attributed the p95 tail to — so down-weighting it
+    # lets frontal evidence dominate. Fetched at zero extra lookup cost by
+    # packing confidence into the depth image's integer f32 values
+    # (ops/bricks.pack_depth_conf; 0.25 mm depth quantization).
+    fusion_incidence_weight: bool = False
+
     # Fuse depth into the volume only every Nth frame (1 = every frame).
     # Tracking and the warp solve still run per frame against the existing
     # model; skipped frames' observations are simply not integrated —
@@ -359,14 +369,27 @@ class DynamicFusionConfig:
     def default_dynamicfusion(cls) -> "DynamicFusionConfig":
         """The reference's dynamicfusion preset (kinfu.cpp:14-49).
 
-        Uses the newton8 raycast refine: on the NON-rigid pipeline it is
-        41 ms/frame faster than secant at the bench shape (130.4 vs
-        171.9 ms — mostly downstream: its model maps agree better with the
-        raw-depth solve targets, so the warm-started LM/ICP loops exit
-        earlier) and posted the best quality-battery numbers of round 3
-        (median 0.87-1.28 mm, p95 2.2-3.7 mm, noise on, seeds 0-5). Rigid
-        pipelines keep the secant default — see raycast_refine."""
-        return cls(raycast_refine="newton8")
+        Non-rigid-preset choices beyond the base defaults (each
+        quality-gated on the noise-on seed battery + the noiseless
+        25-frame tail, round 3):
+
+        - newton8 raycast refine: 41 ms/frame faster than secant at the
+          bench shape (130.4 vs 171.9 ms — mostly downstream: its model
+          maps agree better with the raw-depth solve targets, so the
+          warm-started LM/ICP loops exit earlier). Rigid pipelines keep
+          the secant default — see raycast_refine.
+        - fusion_interval=4: 120.2 ms (-10 vs interval 2) AND better
+          quality everywhere (battery med 0.75-0.95 / p95 2.0-2.6 mm vs
+          0.87-1.28 / 2.2-3.7; noiseless tail p95 7.85 vs 10.45 mm) —
+          fewer integrations bake in fewer grazing observations between
+          warp-settled states.
+        - fusion_incidence_weight: grazing observations down-weighted by
+          |cos incidence| (see the flag's docstring)."""
+        return cls(
+            raycast_refine="newton8",
+            fusion_interval=4,
+            fusion_incidence_weight=True,
+        )
 
     @classmethod
     def reference_parity(cls) -> "DynamicFusionConfig":

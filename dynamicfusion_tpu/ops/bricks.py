@@ -335,6 +335,28 @@ def _voxel_positions(
     return f.reshape(k, b * b * b, ch)
 
 
+PACK_DP = 4000.0   # 0.25 mm depth quantization in the packed image
+PACK_C = 16.0      # confidence levels
+
+
+def pack_depth_conf(dists: jnp.ndarray, conf: jnp.ndarray) -> jnp.ndarray:
+    """Pack (depth meters, confidence [0,1]) into ONE f32 whose values are
+    exact integers <= 2^23, so the one-hot matmul window lookups
+    (_rect_lookup) fetch BOTH per pixel at no extra cost:
+    v = round(d * 4000) * 16 + round(c * 15). Depth quantization
+    +-0.125 mm (0.3% of the truncation band); 16 confidence levels.
+    Invalid pixels (d == 0) pack to v == 0 (conf is forced 0 there)."""
+    dq = jnp.round(dists * PACK_DP)
+    cq = jnp.round(jnp.clip(jnp.nan_to_num(conf), 0.0, 1.0) * (PACK_C - 1.0))
+    return jnp.where(dists > 0.0, dq * PACK_C + cq, 0.0)
+
+
+def unpack_depth_conf(v: jnp.ndarray):
+    dq = jnp.floor(v / PACK_C)
+    c = (v - dq * PACK_C) / (PACK_C - 1.0)
+    return dq / PACK_DP, c
+
+
 def _fuse_rows(
     cfg: DynamicFusionConfig,
     tsdf_rows: jnp.ndarray,   # (K, BV)
@@ -343,6 +365,7 @@ def _fuse_rows(
     rdist: jnp.ndarray,       # (K, BV) voxel ray distance |p|
     inb: jnp.ndarray,         # (K, BV) in-image & z>0
     q: jnp.ndarray | None = None,  # (K, BV) observation weight (blend quality)
+    obs_w: jnp.ndarray | float = 1.0,  # extra observation weight (incidence)
 ):
     trunc = volume_model.trunc_dist(cfg)
     psdf = dp - rdist
@@ -353,10 +376,11 @@ def _fuse_rows(
         # voxels essentially unsupported by the warp field carry a garbage
         # DQB blend — do not fuse through it (paper weight, fusion.py doc)
         update = update & (q > cfg.fusion_quality_min)
+    q = q * obs_w
     tsdf_obs = jnp.minimum(1.0, psdf / trunc)
     t32 = tsdf_rows.astype(jnp.float32)
-    fused = (t32 * w_rows + tsdf_obs * q) / (w_rows + q)
-    new_t = jnp.where(update, fused, t32).astype(tsdf_rows.dtype)
+    fused = (t32 * w_rows + tsdf_obs * q) / jnp.maximum(w_rows + q, 1e-12)
+    new_t = jnp.where(update & (w_rows + q > 1e-12), fused, t32).astype(tsdf_rows.dtype)
     new_w = jnp.where(
         update, jnp.minimum(w_rows + q, float(cfg.tsdf_max_weight)), w_rows
     )
@@ -451,6 +475,7 @@ def integrate_bricks(
     intr: Intrinsics,
     with_counts: bool = False,
     q_grid: jnp.ndarray | None = None,
+    conf: jnp.ndarray | None = None,
 ):
     """Brick-sparse projective TSDF fusion. ``cam_grid`` holds camera-frame
     positions of the voxel grid at stride ``g`` (g = brick_size for the rigid
@@ -466,7 +491,13 @@ def integrate_bricks(
     positions; band/wide voxels fuse with weight q and skip q below
     cfg.fusion_quality_min. Front (free-space) bricks keep unit weight:
     carving away stale geometry is exactly what low-quality regions need,
-    and free space has no meaningful blend quality."""
+    and free space has no meaningful blend quality.
+
+    ``conf``: optional (H, W) per-pixel observation confidence in [0, 1]
+    (e.g. |cos| of viewing incidence). Fetched through the SAME window
+    lookups as the depth by packing both into one exact-integer f32 image
+    (pack_depth_conf) — no extra matmul cost; scales each band/wide
+    observation's weight (front free-space carving stays unit-weight)."""
     d = cfg.volume_dims
     b = cfg.brick_size
     nbr = (d // b) ** 3
@@ -493,7 +524,14 @@ def integrate_bricks(
     cam_flat = cam_grid.reshape(-1, 3)
     if q_grid is not None:
         cam_flat = jnp.concatenate([cam_flat, q_grid.reshape(-1, 1)], axis=-1)
-    dists_flat = dists.reshape(-1)
+    lookup_img = dists if conf is None else pack_depth_conf(dists, conf)
+    lookup_flat = lookup_img.reshape(-1)
+
+    def depth_conf(v):
+        """(dp, obs_w) from a looked-up value of lookup_img."""
+        if conf is None:
+            return v, 1.0
+        return unpack_depth_conf(v)
 
     # ---- front bricks: constant free-space observation ----
     ft = jnp.take(tb, jnp.minimum(front_ids, nbr - 1), axis=0)
@@ -518,10 +556,10 @@ def integrate_bricks(
         # voxels projecting outside the brick's window cannot be inb band
         # voxels (classification bounds every inb voxel into the window)
         inw = (vi - v0[:, None] == ri) & (ui - u0[:, None] == ci)
-        dp = _rect_lookup(dists, u0, v0, ri, ci, rect)
+        dp, ow = depth_conf(_rect_lookup(lookup_img, u0, v0, ri, ci, rect))
         bt = jnp.take(tb, ids, axis=0)
         bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv, ow)
         tb = tb.at[band_ids].set(new_bt, mode="drop")
         wb = wb.at[band_ids].set(new_bw, mode="drop")
 
@@ -533,11 +571,11 @@ def integrate_bricks(
         pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
         ui, vi, inb, rdist = _project(pts, intr, rows, cols)
         flat = jax.lax.optimization_barrier(vi * cols + ui)
-        dp = jnp.take(dists_flat, flat)
-        dp = jax.lax.optimization_barrier(dp)
+        v = jnp.take(lookup_flat, flat)
+        dp, ow = depth_conf(jax.lax.optimization_barrier(v))
         bt = jnp.take(tb, ids, axis=0)
         bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb, qv)
+        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb, qv, ow)
         tb = tb.at[wide_ids].set(new_bt, mode="drop")
         wb = wb.at[wide_ids].set(new_bw, mode="drop")
 

@@ -206,10 +206,19 @@ def integrate_nonrigid(
     with_counts: bool = False,
     dq_grid: jnp.ndarray | None = None,
     q_grid: jnp.ndarray | None = None,
+    conf: jnp.ndarray | None = None,
 ):
     """Fuse one live depth frame into the canonical volume through the
     warp field (paper §3.3; the completed form of surface_fusion +
     psdf, tsdf_volume.cpp:228-292).
+
+    ``conf``: optional (H, W) per-pixel observation confidence in [0, 1]
+    (cfg.fusion_incidence_weight: |cos| of the live normal vs the viewing
+    ray) — scales each observation's weight so grazing-incidence
+    observations, whose depth carries large along-ray error, contribute
+    proportionally little; frontal evidence then dominates the silhouette
+    ring. Looked up through the same window matmuls as the depth
+    (bricks.pack_depth_conf).
 
     Per voxel: x_w = W(x) (DQB-warped center, world frame);
     x_c = world2cam * x_w; psdf = dists(proj(x_c)) - |x_c|;
@@ -224,6 +233,8 @@ def integrate_nonrigid(
     from the nodes, inverted from the paper's intent;
     tsdf_volume.cpp:300-306). cfg.fusion_quality_weight=False restores
     unit observation weights (the rigid-integrate-equivalent behavior)."""
+    from dynamicfusion_tpu.ops import bricks as bricks_mod
+
     d = cfg.volume_dims
     trunc = volume_model.trunc_dist(cfg)
     rows, cols = dists.shape
@@ -244,6 +255,7 @@ def integrate_nonrigid(
         return bricks.integrate_bricks(
             cfg, vol, dists, cam_grid, cfg.knn_field_stride, intr,
             with_counts=with_counts, q_grid=q_grid if use_q else None,
+            conf=conf,
         )
 
     wx, wy, wz = warp_voxel_field(cfg, field, dq_grid)
@@ -262,8 +274,13 @@ def integrate_nonrigid(
 
     flat = jnp.clip(vi, 0, rows - 1) * cols + jnp.clip(ui, 0, cols - 1)
     flat = jax.lax.optimization_barrier(flat)
-    dp = jnp.take(dists.reshape(-1), flat)
+    lookup = dists if conf is None else bricks_mod.pack_depth_conf(dists, conf)
+    dp = jnp.take(lookup.reshape(-1), flat)
     dp = jax.lax.optimization_barrier(dp)
+    if conf is None:
+        obs_w = 1.0
+    else:
+        dp, obs_w = bricks_mod.unpack_depth_conf(dp)
 
     psdf = dp - jnp.sqrt(x * x + y * y + z * z)
     update = inb & (dp != 0.0) & (psdf >= -trunc)
@@ -279,11 +296,14 @@ def integrate_nonrigid(
     else:
         q = 1.0
 
+    q = q * obs_w
     tsdf_obs = jnp.minimum(1.0, psdf / trunc)
     w = vol.weight
     tsdf_f32 = vol.tsdf.astype(jnp.float32)
-    fused = (tsdf_f32 * w + tsdf_obs * q) / (w + q)
-    new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
+    fused = (tsdf_f32 * w + tsdf_obs * q) / jnp.maximum(w + q, 1e-12)
+    new_tsdf = jnp.where(
+        update & (w + q > 1e-12), fused, tsdf_f32
+    ).astype(vol.tsdf.dtype)
     new_w = jnp.where(update, jnp.minimum(w + q, float(cfg.tsdf_max_weight)), w)
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:

@@ -107,10 +107,10 @@ def make_sharded_integrate(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P()),
+        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P()),
         out_specs=(P(axis, None, None), P(axis, None, None), P()),
     )
-    def _integrate(tsdf_loc, w_loc, dists, cam_grid, enabled):
+    def _integrate(tsdf_loc, w_loc, dists, lookup_img, cam_grid, enabled):
         rows, cols = dists.shape
         rect = min(cfg.integrate_rect, 1 << int(math.log2(min(rows, cols))))
 
@@ -137,7 +137,14 @@ def make_sharded_integrate(
         tb = _to_bricks_rect(tsdf_loc, b)
         wb = _to_bricks_rect(w_loc, b)
         slab_flat = slab.reshape(-1, slab.shape[-1])
-        dists_flat = dists.reshape(-1)
+        lookup_flat = lookup_img.reshape(-1)
+
+        # lookup_img is the raw dists, or pack_depth_conf(dists, conf)
+        # when the incidence weight is on (static via cfg)
+        def depth_conf(v):
+            if not cfg.fusion_incidence_weight:
+                return v, 1.0
+            return bricks.unpack_depth_conf(v)
 
         # ---- front bricks ----
         ft = jnp.take(tb, jnp.minimum(front_ids, nbr_loc - 1), axis=0)
@@ -155,10 +162,10 @@ def make_sharded_integrate(
             pts = ptsq[..., :3]
             qv = ptsq[..., 3] if slab.shape[-1] > 3 else None
             ui, vi, inb, rdist = bricks._project(pts, intr, rows, cols)
-            dp, inw = lookup(ids, ui, vi, inb)
+            (dp, ow), inw = lookup(ids, ui, vi, inb)
             bt = jnp.take(tb, ids, axis=0)
             bw = jnp.take(wb, ids, axis=0)
-            return bricks._fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv)
+            return bricks._fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv, ow)
 
         # ---- band bricks: windowed matmul depth lookup ----
         def band_lookup(ids, ui, vi, inb):
@@ -167,8 +174,8 @@ def make_sharded_integrate(
             ri = jnp.clip(vi - v0[:, None], 0, rect - 1)
             ci = jnp.clip(ui - u0[:, None], 0, rect - 1)
             inw = (vi - v0[:, None] == ri) & (ui - u0[:, None] == ci)
-            dp = bricks._rect_lookup(dists, u0, v0, ri, ci, rect)
-            return dp, inw
+            dp = bricks._rect_lookup(lookup_img, u0, v0, ri, ci, rect)
+            return depth_conf(dp), inw
 
         new_bt, new_bw = fuse(band_ids, band_lookup)
         tb = tb.at[band_ids].set(new_bt, mode="drop")
@@ -177,8 +184,8 @@ def make_sharded_integrate(
         # ---- wide bricks: direct gather ----
         def wide_lookup(ids, ui, vi, inb):
             flat = jax.lax.optimization_barrier(vi * cols + ui)
-            dp = jnp.take(dists_flat, flat)
-            return jax.lax.optimization_barrier(dp), jnp.ones_like(inb)
+            v = jnp.take(lookup_flat, flat)
+            return depth_conf(jax.lax.optimization_barrier(v)), jnp.ones_like(inb)
 
         new_wt, new_ww = fuse(wide_ids, wide_lookup)
         tb = tb.at[wide_ids].set(new_wt, mode="drop")
@@ -200,9 +207,13 @@ def make_sharded_integrate(
 
     def integrate_fn(
         cfg_, vol, field, dists, world2cam, intr_, with_counts=False,
-        dq_grid=None, q_grid=None, enabled=None,
+        dq_grid=None, q_grid=None, enabled=None, conf=None,
     ):
         assert intr_ == intr, "sharded integrate is specialized to cfg.intr"
+        assert (conf is not None) == cfg.fusion_incidence_weight
+        lookup_img = (
+            bricks.pack_depth_conf(dists, conf) if conf is not None else dists
+        )
         use_q = cfg_.fusion_quality_weight
         if use_q and (dq_grid is None or q_grid is None):
             dq_grid, q_grid = fusion.coarse_field(cfg_, field)
@@ -217,7 +228,7 @@ def make_sharded_integrate(
         if enabled is None:
             enabled = jnp.array(True)
         new_tsdf, new_w, counts = _integrate(
-            vol.tsdf, vol.weight, dists, cam_grid, enabled
+            vol.tsdf, vol.weight, dists, lookup_img, cam_grid, enabled
         )
         out = TsdfVolume(new_tsdf, new_w)
         if with_counts:

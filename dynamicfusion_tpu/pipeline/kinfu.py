@@ -397,18 +397,26 @@ def step(
     # gated on ICP health (see 4b) and the fusion interval; lax.cond
     # executes only the taken branch
     fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
+    if cfg.fusion_incidence_weight:
+        # per-pixel |cos| of the live normal against the viewing ray, at
+        # the full-res pixels fusion looks up (config flag docstring)
+        p0, n0 = pts_pyr[0], nrm_pyr[0]
+        pn = p0 / jnp.maximum(jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-9)
+        conf = jnp.nan_to_num(jnp.abs(jnp.sum(n0 * pn, axis=-1)))
+    else:
+        conf = None
     if integrate_fn is not None:
         vol, bcounts = integrate_fn(
             cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
             with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-            enabled=fuse_now,
+            enabled=fuse_now, conf=conf,
         )
     else:
         vol, bcounts = jax.lax.cond(
             fuse_now,
             lambda: fusion.integrate_nonrigid(
                 cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
-                with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
+                with_counts=True, dq_grid=dq_grid, q_grid=q_grid, conf=conf,
             ),
             lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
         )

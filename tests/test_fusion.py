@@ -191,3 +191,72 @@ class TestSharedDqGrid:
         w = fusion.warp_points_trilinear(CFG, grid, pts)
         assert np.isnan(np.asarray(w)[0]).all()
         assert np.isfinite(np.asarray(w)[1]).all()
+
+
+class TestIncidenceWeight:
+    def test_pack_unpack_roundtrip(self):
+        from dynamicfusion_tpu.ops import bricks
+
+        rng = np.random.default_rng(0)
+        d = rng.uniform(0.3, 3.0, (64,)).astype(np.float32)
+        c = rng.uniform(0.0, 1.0, (64,)).astype(np.float32)
+        v = bricks.pack_depth_conf(jnp.asarray(d), jnp.asarray(c))
+        dp, cu = bricks.unpack_depth_conf(v)
+        np.testing.assert_allclose(np.asarray(dp), d, atol=1.3e-4)  # 0.125 mm
+        np.testing.assert_allclose(np.asarray(cu), c, atol=0.5 / 15.0)
+        # invalid depth packs to exactly 0 (the dp != 0 validity gate)
+        v0 = bricks.pack_depth_conf(jnp.zeros(3), jnp.ones(3))
+        assert float(jnp.abs(v0).max()) == 0.0
+
+    def test_grazing_observations_downweighted(self):
+        """With the incidence weight on, fused voxel weights at the
+        sphere's silhouette (grazing incidence) are much smaller than at
+        the frontal pole; with conf == 1 everywhere the result matches the
+        unweighted path up to depth quantization."""
+        import dataclasses
+
+        from dynamicfusion_tpu.core import se3
+        from dynamicfusion_tpu.models import volume as volume_model
+        from dynamicfusion_tpu.io import synthetic
+
+        cfg = dataclasses.replace(CFG, fusion_incidence_weight=True)
+        center, radius = (0.0, 0.0, 0.9), 0.25
+        depth = synthetic.sphere_depth(cfg.intr, cfg.rows, cfg.cols, center, radius)
+        dists = preprocess.compute_dists(cfg.intr, jnp.asarray(depth))
+        pts, nrm = preprocess.compute_points_normals(cfg.intr, jnp.asarray(depth))
+        pn = pts / jnp.maximum(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+        conf = jnp.nan_to_num(jnp.abs(jnp.sum(nrm * pn, axis=-1)))
+
+        field = _identity_field()
+        vol = volume_model.create(cfg)
+        v_w = fusion.integrate_nonrigid(
+            cfg, vol, field, dists, se3.identity(), cfg.intr, conf=conf
+        )
+        w = np.asarray(v_w.weight)
+
+        d, vs = cfg.volume_dims, cfg.voxel_size
+        org = np.asarray(cfg.volume_origin)
+
+        def wt(p):
+            i = np.clip(np.round((np.asarray(p) - org) / vs).astype(int), 0, d - 1)
+            return w[i[0], i[1], i[2]]
+
+        frontal = wt((0.0, 0.0, center[2] - radius))       # facing the camera
+        grazing = wt((radius, 0.0, center[2]))             # silhouette ring
+        assert frontal > 0.85
+        assert grazing < 0.55 * frontal, (frontal, grazing)
+
+        # conf == 1 reproduces the unweighted path up to quantization
+        v_ref = fusion.integrate_nonrigid(
+            CFG, volume_model.create(CFG), field, dists, se3.identity(), CFG.intr
+        )
+        v_one = fusion.integrate_nonrigid(
+            cfg, volume_model.create(cfg), field, dists, se3.identity(),
+            cfg.intr, conf=jnp.ones_like(dists),
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_one.tsdf), np.asarray(v_ref.tsdf), atol=0.005
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_one.weight), np.asarray(v_ref.weight), atol=1e-5
+        )
