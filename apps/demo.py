@@ -115,15 +115,16 @@ def main():
         if args.checkpoint_every and i and i % args.checkpoint_every == 0:
             checkpoint.save(os.path.join(args.out or ".", f"ckpt_{i:05d}.npz"), df.state)
         if i > 0:
-            band, wide = (int(x) for x in np.asarray(df.last_outputs.brick_counts))
-            if band > cfg.integrate_band_cap or wide > cfg.integrate_wide_cap:
-                # overflowing bricks keep stale TSDF this frame (see
+            band, wide, dropped = (
+                int(x) for x in np.asarray(df.last_outputs.brick_counts)
+            )
+            if dropped > 0:
+                # dropped bricks keep stale TSDF this frame (see
                 # config.integrate_band_cap/integrate_wide_cap) — surface it
                 print(
-                    f"[{i}] WARNING: brick cap overflow (band {band}/"
-                    f"{cfg.integrate_band_cap}, wide {wide}/"
-                    f"{cfg.integrate_wide_cap}) — part of the surface kept "
-                    f"stale values; raise the caps", flush=True,
+                    f"[{i}] WARNING: brick cap overflow ({dropped} bricks "
+                    f"dropped; band {band}, wide {wide}) — part of the "
+                    f"surface kept stale values; raise the caps", flush=True,
                 )
         if i % 10 == 0 and i > 0:
             o = df.last_outputs

@@ -199,7 +199,7 @@ def main():
     # force the chained computation to finish
     cost = float(df.last_outputs.solver_cost1)
     icp_ok = bool(df.last_outputs.icp_ok)
-    band, wide = (int(x) for x in np.asarray(df.last_outputs.brick_counts))
+    band, wide, dropped = (int(x) for x in np.asarray(df.last_outputs.brick_counts))
     elapsed = time.time() - t0
     fps = args.frames / elapsed
 
@@ -218,7 +218,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "final_solver_cost": cost,
         "icp_ok": icp_ok,
-        "brick_overflow": band > cfg.integrate_band_cap or wide > cfg.integrate_wide_cap,
+        "brick_overflow": dropped > 0,
         "device": str(jax.devices()[0]),
     }
     # quality line (Kinect noise ON) rides along with every default run so

@@ -399,12 +399,22 @@ class DynamicFusionConfig:
         robust constants the reference defines but never applies
         (optimisation.hpp:84-88,142-146), and the heavy ARAP lambda. These
         are known-unstable as a running configuration (scripts/
-        scaling_check.py); use for oracle tests and parity studies only."""
+        scaling_check.py); use for oracle tests and parity studies only.
+
+        Also pins every TPU throughput lever back to reference-faithful
+        behavior (the reference integrates every frame, extracts at
+        weight > 0, raycasts every pixel with no band cap): the tuned base
+        defaults would otherwise silently drop observations/surface from a
+        preset whose whole point is faithfulness."""
         return cls(
             node_radius=3.0,
             solver_tukey_c=0.01,
             solver_huber_delta=1e-4,
             solver_arap_weight=200.0,
+            fusion_interval=1,
+            extract_min_weight=1e-6,
+            raycast_band_cap=0.0,
+            raycast_subsample=1,
         )
 
     @classmethod

@@ -482,9 +482,10 @@ def integrate_bricks(
     path — affine prolongation is exact; g = knn_field_stride for the
     DQB-warped path). Semantically equivalent to the dense integrate /
     integrate_nonrigid up to brick caps (overflowing bricks keep their old
-    values for one frame). With ``with_counts`` also returns a (2,) int32
-    array of the runtime (band, wide) brick counts so callers can surface
-    cap overflow instead of silently dropping updates.
+    values for one frame). With ``with_counts`` also returns a (3,) int32
+    array of (band, wide, dropped) where ``dropped`` is the exact number of
+    bricks past the static caps whose update was skipped this frame — so
+    callers detect overflow directly instead of comparing against caps.
 
     ``q_grid``: optional (G, G, G) per-grid-point observation weight (DQB
     blend quality, fusion.coarse_field) prolonged to voxels alongside the
@@ -581,9 +582,12 @@ def integrate_bricks(
 
     out = TsdfVolume(from_bricks(tb, d, b), from_bricks(wb, d, b))
     if with_counts:
-        counts = jnp.stack(
-            [jnp.sum(bc.cls == BAND), jnp.sum(bc.cls == WIDE)]
-        ).astype(jnp.int32)
+        n_band = jnp.sum(bc.cls == BAND)
+        n_wide = jnp.sum(bc.cls == WIDE)
+        dropped = jnp.maximum(n_band - band_cap, 0) + jnp.maximum(
+            n_wide - wide_cap, 0
+        )
+        counts = jnp.stack([n_band, n_wide, dropped]).astype(jnp.int32)
         return out, counts
     return out
 

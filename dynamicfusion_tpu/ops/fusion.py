@@ -307,5 +307,5 @@ def integrate_nonrigid(
     new_w = jnp.where(update, jnp.minimum(w + q, float(cfg.tsdf_max_weight)), w)
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:
-        return out, jnp.zeros((2,), jnp.int32)  # dense path: nothing capped
+        return out, jnp.zeros((3,), jnp.int32)  # dense path: nothing capped
     return out

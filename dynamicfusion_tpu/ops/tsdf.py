@@ -243,7 +243,7 @@ def integrate(
     new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:
-        return out, jnp.zeros((2,), jnp.int32)  # dense path: nothing capped
+        return out, jnp.zeros((3,), jnp.int32)  # dense path: nothing capped
     return out
 
 

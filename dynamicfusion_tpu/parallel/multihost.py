@@ -60,7 +60,9 @@ def initialize(
         pass
     kwargs = {}
     if local_device_count is not None:
-        kwargs["num_local_devices"] = local_device_count
+        # jax 0.9's knob is local_device_ids (num_local_devices no longer
+        # exists); covered by tests/test_multihost.py.
+        kwargs["local_device_ids"] = list(range(local_device_count))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

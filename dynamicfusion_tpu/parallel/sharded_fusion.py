@@ -13,9 +13,13 @@ slab's bricks. The inputs a brick needs beyond its own voxels are tiny
 and replicated — the dists image (0.6 MB), the DQB-warped coarse corner
 grid ((D/s+1)^3 x 3 ~ 0.4 MB) and its blend-quality channel — so the
 shard_map body communicates NOTHING. A bonus: each shard holds only
-(D/n)/B brick-planes, so the per-shard "caps" are the full local brick
-count — the sharded path never drops bricks, unlike the single-chip
-static caps.
+(D/n)/B brick-planes, so the FRONT and BAND per-shard caps are the full
+local brick count — those classes never drop. The WIDE fallback path
+(footprint larger than the lookup window; pays cap*B^3 unconditional
+random gathers, so it cannot be sized at the full local count for free)
+keeps a per-shard cap of max(nbr_loc // 8, 16); any truncation is
+reported exactly in the returned counts' third element (dropped), same
+contract as bricks.integrate_bricks.
 
 The per-frame fusion gate (fusion_interval / icp_ok) is applied INSIDE
 via a masked update rather than wrapping the shard_map in lax.cond: a
@@ -129,10 +133,13 @@ def make_sharded_integrate(
             cfg, slab[..., :3], g, pyr, intr, rows, cols, rect
         )
 
-        # local caps = ALL local bricks: nothing is ever dropped
+        # front/band caps = ALL local bricks: those classes never drop;
+        # the wide fallback keeps a cap (see module docstring) with exact
+        # truncation reporting below
+        wide_cap = max(nbr_loc // 8, 16)
         (front_ids,) = jnp.nonzero(bc.cls == bricks.FRONT, size=nbr_loc, fill_value=nbr_loc)
         (band_ids,) = jnp.nonzero(bc.cls == bricks.BAND, size=nbr_loc, fill_value=nbr_loc)
-        (wide_ids,) = jnp.nonzero(bc.cls == bricks.WIDE, size=max(nbr_loc // 8, 16), fill_value=nbr_loc)
+        (wide_ids,) = jnp.nonzero(bc.cls == bricks.WIDE, size=wide_cap, fill_value=nbr_loc)
 
         tb = _to_bricks_rect(tsdf_loc, b)
         wb = _to_bricks_rect(w_loc, b)
@@ -197,9 +204,12 @@ def make_sharded_integrate(
         # module docstring
         new_tsdf = jnp.where(enabled, new_tsdf, tsdf_loc)
         new_w = jnp.where(enabled, new_w, w_loc)
+        n_wide_loc = jnp.sum(bc.cls == bricks.WIDE)
         counts = jax.lax.psum(
             jnp.stack([
-                jnp.sum(bc.cls == bricks.BAND), jnp.sum(bc.cls == bricks.WIDE)
+                jnp.sum(bc.cls == bricks.BAND),
+                n_wide_loc,
+                jnp.maximum(n_wide_loc - wide_cap, 0),
             ]).astype(jnp.int32) * enabled.astype(jnp.int32),
             axis,
         )

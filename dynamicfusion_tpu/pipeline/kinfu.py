@@ -57,10 +57,10 @@ class StepOutputs(NamedTuple):
     solver_cost0: jnp.ndarray
     solver_cost1: jnp.ndarray
     node_count: jnp.ndarray
-    # (2,) int32 runtime (band, wide) brick counts of this frame's integrate
-    # (zeros for integrate_mode="dense"): if these exceed
-    # cfg.integrate_band_cap / integrate_wide_cap, part of the surface kept
-    # stale TSDF values this frame — resize the caps.
+    # (3,) int32 runtime (band, wide, dropped) brick counts of this frame's
+    # integrate (zeros for integrate_mode="dense"): dropped > 0 means that
+    # many bricks past the static caps kept stale TSDF values this frame —
+    # resize cfg.integrate_band_cap / integrate_wide_cap.
     brick_counts: jnp.ndarray
     model_points: jnp.ndarray   # (H, W, 3) raycast model, camera frame
     model_normals: jnp.ndarray
@@ -260,7 +260,7 @@ def step(
             lambda: tsdf_ops.integrate(
                 cfg, state.vol, dists, vol2cam, cfg.intr, with_counts=True
             ),
-            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
+            lambda: (state.vol, jnp.zeros((3,), jnp.int32)),
         )
         (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
             cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists)
@@ -418,7 +418,7 @@ def step(
                 cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
                 with_counts=True, dq_grid=dq_grid, q_grid=q_grid, conf=conf,
             ),
-            lambda: (state.vol, jnp.zeros((2,), jnp.int32)),
+            lambda: (state.vol, jnp.zeros((3,), jnp.int32)),
         )
 
     # ---- 6. warp-field extension (unsupported surface -> new nodes) ----

@@ -27,9 +27,10 @@ for i, d in enumerate(seq):
     if o is None:
         print(f"frame {i}: init")
         continue
-    band, wide = (int(x) for x in np.asarray(o.brick_counts))
+    band, wide, dropped = (int(x) for x in np.asarray(o.brick_counts))
     print(
-        f"frame {i}: band={band} wide={wide} cost0={float(o.solver_cost0):.4f} "
+        f"frame {i}: band={band} wide={wide} dropped={dropped} "
+        f"cost0={float(o.solver_cost0):.4f} "
         f"cost1={float(o.solver_cost1):.4f} icp_ok={bool(o.icp_ok)} "
         f"nodes={int(o.node_count)}"
     )

@@ -34,7 +34,9 @@ def main():
 
     from dynamicfusion_tpu.parallel import multihost
 
-    multihost.initialize(coordinator, num_procs, proc_id)
+    # pass local_device_count explicitly to exercise the
+    # local_device_ids mapping in multihost.initialize (jax 0.9 API)
+    multihost.initialize(coordinator, num_procs, proc_id, local_device_count=4)
     assert jax.process_count() == num_procs, jax.process_count()
     assert jax.device_count() == 4 * num_procs, jax.device_count()
 

@@ -11,8 +11,13 @@ Shape: 128^3 / 320x240 / 512 nodes over 8 devices — 16-voxel slabs are
 whole brick planes, so the per-shard-brick fusion path is ACTIVE (the
 same structure the full 256^3 dryrun/census runs; scripts/
 collective_bytes.py measures the 256^3 numbers recorded in SCALING.md).
-The XLA-CPU compile here is heavy but served from the persistent cache
-(tests/conftest.py) after the first run.
+The XLA-CPU compile here is heavy and paid on EVERY suite run:
+tests/conftest.py deliberately disables the persistent compile cache for
+the suite (cache-SERVED XLA-CPU SPMD executables can abort at execution
+on this jax). This test never executes the program, so it could in
+principle opt into its own cache directory — kept cache-free for now so
+no SPMD entry of the suite's shapes ever lands in a cache an executing
+context might read.
 """
 
 import dataclasses
