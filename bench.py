@@ -75,31 +75,113 @@ def frames(cfg, n):
     return out
 
 
-def run_quality(cfg, n, noise, seed=0):
-    """Reconstruct a deforming sphere (or, in rigid mode, a static one);
-    the canonical model must match the t=0 analytic sphere. Prints +
-    returns the median absolute surface error (mm). vs_baseline =
-    voxel_size / error (>= 1 means sub-voxel accuracy, the parity class
-    the reference's visual validation implies)."""
+BG_SPHERE = dict(center=(0.32, -0.18, 1.0), radius=0.1)
+HINGE = dict(h=np.array([0.0, 0.0, 0.95]), d=0.16, r=0.12)
+
+
+def _visible_sphere_samples(center, radius, m=2048, occluders=()):
+    """Fibonacci-lattice samples of the camera-VISIBLE part of an analytic
+    sphere (camera at the origin looking +z): a sample x is visible iff its
+    outward normal faces the camera (dot(x - c, x) < 0) and no occluder
+    sphere intersects the ray to it first. Ground-truth support for the
+    surface-coverage metric — the reconstructible region, nothing more."""
+    c = np.asarray(center, np.float64)
+    i = np.arange(m, dtype=np.float64)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    y = 1.0 - 2.0 * (i + 0.5) / m
+    rr = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+    n = np.stack([rr * np.cos(phi), y, rr * np.sin(phi)], -1)
+    x = c + radius * n
+    vis = np.sum(n * x, axis=-1) < 0.0
+    t_x = np.linalg.norm(x, axis=-1)
+    d = x / np.maximum(t_x[:, None], 1e-9)
+    for oc in occluders:
+        co = np.asarray(oc["center"], np.float64)
+        b = -2.0 * (d @ co)
+        cc = float(co @ co) - oc["radius"] ** 2
+        disc = b * b - 4.0 * cc
+        t_oc = np.where(disc >= 0, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0, np.inf)
+        vis &= ~((t_oc > 0) & (t_oc < t_x - 1e-6))
+    # the incidence cosine at the sample = |n . d| (normal vs view ray)
+    cos_inc = np.abs(np.sum(n * d, axis=-1))
+    return x[vis], cos_inc[vis]
+
+
+def _coverage(pts, samples, tol):
+    """Fraction of ground-truth surface samples with an extracted point
+    within `tol` meters (guards quality 'improvements' that work by
+    extracting less surface — VERDICT r3 weak #2)."""
+    if len(samples) == 0:
+        return 1.0
+    if len(pts) == 0:
+        return 0.0
+    hit = np.zeros(len(samples), bool)
+    for i in range(0, len(samples), 256):
+        s = samples[i : i + 256]
+        d2 = np.sum((s[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        hit[i : i + 256] = np.sqrt(d2.min(axis=1)) < tol
+    return float(hit.mean())
+
+
+def _hinge_centers(t):
+    """Scissor articulation: two spheres about a hinge, angles +theta and
+    pi - theta from +x in the x/y plane — genuinely non-rigid relative
+    motion (zero net rotation) for the HELD-OUT quality scene. theta(0)=0:
+    the canonical model is the spheres at +-d along x."""
+    th = 0.2 * np.sin(0.25 * t)
+    h, d = HINGE["h"], HINGE["d"]
+    ca = h + d * np.array([np.cos(th), np.sin(th), 0.0])
+    cb = h + d * np.array([-np.cos(th), np.sin(th), 0.0])
+    return ca, cb
+
+
+def _quality_frame(cfg, t, scene):
+    """One clean depth frame of a quality scene ('sphere' tuned family or
+    'hinge' hold-out family), uint16 mm."""
+    if scene == "hinge":
+        ca, cb = _hinge_centers(t)
+        return synthetic.scene_depth(
+            cfg.intr, cfg.rows, cfg.cols,
+            spheres=[dict(center=tuple(ca), radius=HINGE["r"]),
+                     dict(center=tuple(cb), radius=HINGE["r"])],
+            plane_z=1.3,
+        )
+    center, radius = (0.0, 0.0, 0.9), 0.25
+    sphere = synthetic.deforming_sphere_depth(
+        cfg.intr, cfg.rows, cfg.cols,
+        t=0.0 if cfg.rigid_only else 0.35 * t, center=center,
+        radius=radius, amp=0.0 if cfg.rigid_only else 0.04,
+    )
+    bg = synthetic.scene_depth(
+        cfg.intr, cfg.rows, cfg.cols, spheres=[BG_SPHERE], plane_z=1.3,
+    )
+    return np.where((sphere > 0) & ((bg == 0) | (sphere < bg)), sphere, bg)
+
+
+def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
+    """Reconstruct a deforming scene; the canonical model must match the
+    t=0 analytic geometry. Prints + returns the median absolute surface
+    error (mm) AND the surface-coverage fraction (ground-truth samples
+    within one voxel of an extracted point). vs_baseline = voxel_size /
+    error (>= 1 means sub-voxel accuracy, the parity class the reference's
+    visual validation implies).
+
+    scene="sphere": the deforming sphere + background the defaults were
+    tuned on. scene="hinge": the HELD-OUT articulated two-sphere scissor
+    (never used for tuning any default — see _hinge_centers)."""
     from dynamicfusion_tpu.ops import tsdf as tsdf_ops
 
     center, radius = (0.0, 0.0, 0.9), 0.25
-    df = kinfu.DynamicFusion(cfg)
+    if df is None:
+        df = kinfu.DynamicFusion(cfg)
+    else:
+        df.reset()
     for t in range(n):
-        # deforming sphere over a static background (an off-axis sphere +
-        # plane) — the background conditions all 6 ICP dof, like real
+        # deforming foreground over a static background (plane [+ off-axis
+        # sphere]) — the background conditions all 6 ICP dof, like real
         # scenes. Rigid mode reconstructs the STATIC sphere instead (no
         # warp field to absorb deformation).
-        sphere = synthetic.deforming_sphere_depth(
-            cfg.intr, cfg.rows, cfg.cols,
-            t=0.0 if cfg.rigid_only else 0.35 * t, center=center,
-            radius=radius, amp=0.0 if cfg.rigid_only else 0.04,
-        )
-        bg = synthetic.scene_depth(
-            cfg.intr, cfg.rows, cfg.cols,
-            spheres=[dict(center=(0.32, -0.18, 1.0), radius=0.1)], plane_z=1.3,
-        )
-        d = np.where((sphere > 0) & ((bg == 0) | (sphere < bg)), sphere, bg)
+        d = _quality_frame(cfg, t, scene)
         if noise:
             d = synthetic.kinect_noise(d, cfg.intr, seed=1000 * seed + t)
         df(jnp.asarray(d), block=False)
@@ -107,29 +189,47 @@ def run_quality(cfg, n, noise, seed=0):
 
     cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 19)
     pts = np.asarray(cloud.points)[np.asarray(cloud.valid)]
-    # evaluate only the deforming object's surface: inside its own band AND
-    # away from the background sphere at (0.32, -0.18, 1.0) r=0.1, whose
-    # near side falls inside the inclusion radius and previously leaked up
-    # to 120 mm of "error" into the tail percentiles
-    near = np.linalg.norm(pts - np.asarray(center), axis=-1) < radius + 0.12
-    bg = np.linalg.norm(pts - np.array([0.32, -0.18, 1.0]), axis=-1) < 0.16
-    pts = pts[near & ~bg]
-    err = np.abs(np.linalg.norm(pts - np.asarray(center), axis=-1) - radius)
-    med_mm = float(np.median(err)) * 1000.0
-    p95_mm = float(np.percentile(err, 95)) * 1000.0
     voxel_mm = cfg.voxel_size * 1000.0
+    if scene == "hinge":
+        ca, cb = _hinge_centers(0)
+        r = HINGE["r"]
+        da = np.linalg.norm(pts - ca, axis=-1)
+        db = np.linalg.norm(pts - cb, axis=-1)
+        near = (da < r + 0.1) | (db < r + 0.1)
+        pts = pts[near & (pts[:, 2] < 1.2)]
+        err = np.minimum(np.abs(np.linalg.norm(pts - ca, axis=-1) - r),
+                         np.abs(np.linalg.norm(pts - cb, axis=-1) - r))
+        sa, _ = _visible_sphere_samples(ca, r, occluders=[dict(center=cb, radius=r)])
+        sb, _ = _visible_sphere_samples(cb, r, occluders=[dict(center=ca, radius=r)])
+        samples = np.concatenate([sa, sb], axis=0)
+        metric = "holdout_hinge_error_mm"
+        unit = "mm (median |surface - analytic|, articulated two-sphere hold-out)"
+    else:
+        # evaluate only the deforming object's surface: inside its own band
+        # AND away from the background sphere, whose near side falls inside
+        # the inclusion radius and previously leaked up to 120 mm of
+        # "error" into the tail percentiles
+        near = np.linalg.norm(pts - np.asarray(center), axis=-1) < radius + 0.12
+        bg = np.linalg.norm(pts - np.asarray(BG_SPHERE["center"]), axis=-1) < 0.16
+        pts = pts[near & ~bg]
+        err = np.abs(np.linalg.norm(pts - np.asarray(center), axis=-1) - radius)
+        samples, _ = _visible_sphere_samples(center, radius, occluders=[BG_SPHERE])
+        metric = ("rigid_" if cfg.rigid_only else "") + "canonical_reconstruction_error_mm"
+        unit = "mm (median |surface - analytic|, deforming sphere)"
+    med_mm = float(np.median(err)) * 1000.0 if len(err) else float("inf")
+    p95_mm = float(np.percentile(err, 95)) * 1000.0 if len(err) else float("inf")
+    cov = _coverage(pts, samples, cfg.voxel_size)
     result = {
-        "metric": ("rigid_" if cfg.rigid_only else "")
-                  + "canonical_reconstruction_error_mm"
-                  + ("_kinect_noise" if noise else ""),
+        "metric": metric + ("_kinect_noise" if noise else ""),
         "value": round(med_mm, 3),
-        "unit": "mm (median |surface - analytic|, deforming sphere)",
+        "unit": unit,
         "vs_baseline": round(voxel_mm / max(med_mm, 1e-6), 2),
         "p95_mm": round(p95_mm, 3),
         "voxel_mm": round(voxel_mm, 3),
         "frames": n,
         "seed": seed,
         "surface_points": int(len(pts)),
+        "surface_coverage": round(cov, 4),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
@@ -152,6 +252,10 @@ def main():
     ap.add_argument("--noise", action="store_true",
                     help="with --quality: apply the Kinect sensor-noise model "
                          "(io.synthetic.kinect_noise) to every input frame")
+    ap.add_argument("--scene", default="sphere", choices=["sphere", "hinge"],
+                    help="with --quality: 'sphere' = the tuned deforming-"
+                         "sphere family, 'hinge' = the HELD-OUT articulated "
+                         "two-sphere scissor scene")
     ap.add_argument("--seed", type=int, default=0,
                     help="noise-model seed base for --quality runs")
     ap.add_argument("--no-quality", action="store_true",
@@ -182,7 +286,7 @@ def main():
             over[k] = v
         cfg = dataclasses.replace(cfg, **over)
     if args.quality:
-        run_quality(cfg, args.frames, args.noise, seed=args.seed)
+        run_quality(cfg, args.frames, args.noise, seed=args.seed, scene=args.scene)
         return
     df = kinfu.DynamicFusion(cfg)
     seq = frames(cfg, args.frames + 2)
@@ -221,12 +325,16 @@ def main():
         "brick_overflow": dropped > 0,
         "device": str(jax.devices()[0]),
     }
-    # quality line (Kinect noise ON) rides along with every default run so
-    # the per-round BENCH artifacts record throughput AND quality; printed
-    # BEFORE the fps line — the driver parses the last line as the headline
-    # metric. --rigid reconstructs a static sphere instead.
+    # quality lines (Kinect noise ON) ride along with every default run so
+    # the per-round BENCH artifacts record throughput AND quality AND
+    # surface coverage: the tuned sphere family at 20 frames (the coverage
+    # gate's horizon) plus the HELD-OUT hinge scene. Printed BEFORE the fps
+    # line — the driver parses the last line as the headline metric.
+    # --rigid reconstructs a static sphere instead.
     if not (args.no_quality or args.small):
-        run_quality(cfg, max(args.frames, 10), noise=True)
+        run_quality(cfg, max(args.frames, 20), noise=True, df=df)
+        if not args.rigid:
+            run_quality(cfg, max(args.frames, 20), noise=True, scene="hinge", df=df)
     print(json.dumps(result))
 
 

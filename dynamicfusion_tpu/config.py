@@ -146,6 +146,22 @@ class DynamicFusionConfig:
     # when the coarse-band prepass runs. Scaled to the scene: 0.25 m suits
     # the 1 m dynamicfusion volume; default_kinfu (3 m) disables it.
     raycast_band_cap: float = 0.25
+    # Temporal march band: bound each frame's model raycast to the
+    # per-pixel [min, max] surface distance of a 5x5 window over the UNION
+    # of (a) the previous frame's model map and (b) the live dists map,
+    # widened by raycast_band_margin (and capped by raycast_band_cap).
+    # (a) keeps every surface the model knows — including background
+    # behind silhouettes, the constraint live-depth seeding loses; (b)
+    # covers surface that fusion added THIS frame before the model map
+    # existed. Pixels where both sources miss don't march at all: the
+    # model raycast there would all-but-certainly miss too (nothing was
+    # there last frame and nothing is observed now) — the residual risk is
+    # fast motion onto never-seen geometry, which the next frame's live
+    # band recovers. Replaces the coarse-band prepass wherever active
+    # (which self-disables at raycast_subsample=4 anyway; kinfu.step).
+    # Off in the base default; default_dynamicfusion enables it
+    # (quality-gated round 4).
+    raycast_temporal_band: bool = False
     # Crossing refine: "secant" = two trilinear fetches bracketing + fused
     # Newton polish (24 gathers/pixel); "newton16" = nearest-value secant
     # start + TWO fused value/gradient fetches with clamped Newton steps
@@ -160,7 +176,11 @@ class DynamicFusionConfig:
     # (newton8) / 44 mm (newton16) vs 3.5 mm secant. The secant's
     # average-slope-over-the-bracket is immune. Default stays secant;
     # the Newton variants are for non-rigid fine-volume runs where the
-    # raycast is hot and the warp solve absorbs the residual bias.
+    # raycast is hot and the warp solve absorbs the residual bias —
+    # rigid_only pipelines PIN secant structurally (kinfu.DynamicFusion).
+    # "hybrid16" (round 4, experimental): 16-gather exact-two-point secant
+    # — static accuracy equal to secant, but still 41 mm on the rigid
+    # orbit gate; see the measured record in ops/tsdf.py.
     raycast_refine: str = "secant"
     # True = the reference's six-sample central-difference normals
     # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
@@ -265,6 +285,14 @@ class DynamicFusionConfig:
     # f32-exact — the gradient sets the solution; the Hessian only shapes
     # the step, and LM accept/reject uses the exact cost.
     solver_jtj_int8: bool = True
+    # Carry ONE Cholesky factor across the LM iterations of a solve
+    # (direct linear solver + lagged JtJ only): the lagged Hessian is
+    # constant within a solve, so the damped matrix changes only through
+    # lm_lambda — which only matters after a REJECTED step (x8), where the
+    # factor IS rebuilt. Accepted steps halve a lambda that is already
+    # <= 1e-4 of the diagonal; reusing the factor there changes the step
+    # negligibly while LM accept/reject stays exact-cost.
+    solver_chol_reuse: bool = True
     # Lagged-JtJ (Shamanskii/chord) LM: assemble the full Hessian only at
     # the first iteration of each solve; later iterations reuse it while
     # the candidate-evaluation pass returns BOTH the exact cost (for
@@ -313,6 +341,13 @@ class DynamicFusionConfig:
     # packing confidence into the depth image's integer f32 values
     # (ops/bricks.pack_depth_conf; 0.25 mm depth quantization).
     fusion_incidence_weight: bool = False
+    # Floor on the incidence weight (valid pixels only): grazing
+    # observations keep at least this much evidence per fusion, so
+    # silhouette-ring voxels seen ONLY at grazing incidence still
+    # accumulate toward extract_min_weight instead of never claiming
+    # surface (the surface-coverage metric of bench.py guards this
+    # trade; round 4).
+    fusion_incidence_floor: float = 0.0
 
     # Fuse depth into the volume only every Nth frame (1 = every frame).
     # Tracking and the warp solve still run per frame against the existing

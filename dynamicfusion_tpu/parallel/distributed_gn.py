@@ -186,6 +186,62 @@ def make_eval_fn(
     return eval_fn
 
 
+def make_sharded_solve(
+    cfg: DynamicFusionConfig,
+    mesh: Mesh,
+    point_to_plane: bool,
+    axis: str = "d",
+):
+    """The fully-distributed warp solve (SCALING.md §4): the WHOLE LM loop
+    runs inside ONE shard_map over a point shard, nodes replicated, the
+    data-term Gram kept UNSUMMED per shard. The (6N,6N) Schur all-reduce of
+    make_system_fn disappears entirely; per solve the wire carries only
+    (6N,)-sized reductions — psum'd gradients/costs/diagonal, pmax'd int8
+    scales, the (N,6,6) preconditioner blocks, and one 24.6 KB psum per
+    PCG matvec iteration: ~0.9 MB at 1024 nodes, ~170x less than the
+    151 MB Schur round.
+
+    Structuring it as one shard_map body (while_loops INSIDE the body,
+    never a shard_map inside a while_loop body) is what keeps the SPMD
+    partitioner fast — see the CLAUDE.md landmine.
+
+    Returns ``solve_fn(field, inputs) -> (field, stats)`` for
+    kinfu.step's ``warp_solve_fn`` hook. Requires cfg.solver_linear ==
+    "pcg" and cfg.solver_lagged_jtj."""
+    from jax import shard_map
+
+    n_dev = mesh.shape[axis]
+
+    body = partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        lambda field, inputs_local: warp_solver.solve(
+            cfg, field, inputs_local, point_to_plane=point_to_plane,
+            axis_name=axis, axis_size=n_dev,
+        )
+    )
+
+    def solve_fn(field: WarpField, inputs: WarpSolveInputs):
+        p = inputs.p_can.shape[0]
+        pad = (-p) % (n_dev * max(cfg.solver_hessian_stride, 1))
+        if pad:
+            # NaN padding marks the rows invalid in prepare(); padding to a
+            # multiple of n_dev * hs keeps each shard's [::hs] subsample
+            # phase identical to the single-device solve's
+            pz = lambda a: jnp.pad(a, ((0, pad), (0, 0)), constant_values=jnp.nan)
+            inputs = WarpSolveInputs(*(pz(a) for a in inputs))
+        inputs = jax.lax.with_sharding_constraint(
+            inputs, jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), inputs)
+        )
+        return body(field, inputs)
+
+    return solve_fn
+
+
 def solve_distributed(
     cfg: DynamicFusionConfig,
     mesh: Mesh,

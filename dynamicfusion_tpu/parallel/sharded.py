@@ -75,18 +75,31 @@ def make_sharded_step(
     ss = state_shardings(cfg, mesh, axis)
     depth_s = NamedSharding(mesh, P())
     use_explicit = explicit_gn and not cfg.rigid_only
+    # solver distribution mode: with solver_linear == "pcg" the whole LM
+    # loop runs inside one shard_map on UNSUMMED per-shard Grams (the
+    # distributed-PCG solve of SCALING.md §4 — no (6N,6N) Schur all-reduce
+    # at all, <1 MB/solve on the wire); with "direct" the summed Schur
+    # assembly + replicated Cholesky (make_system_fn) is used.
+    use_pcg = (
+        use_explicit and cfg.solver_linear == "pcg" and cfg.solver_lagged_jtj
+    )
+    solve_fn = (
+        distributed_gn.make_sharded_solve(cfg, mesh, cfg.point_to_plane, axis)
+        if use_pcg
+        else None
+    )
     system_fn = (
         distributed_gn.make_system_fn(
             cfg, mesh, cfg.max_nodes, cfg.point_to_plane, axis
         )
-        if use_explicit
+        if use_explicit and not use_pcg
         else None
     )
     eval_fn = (
         distributed_gn.make_eval_fn(
             cfg, mesh, cfg.max_nodes, cfg.point_to_plane, axis
         )
-        if use_explicit and cfg.solver_lagged_jtj
+        if use_explicit and not use_pcg and cfg.solver_lagged_jtj
         else None
     )
     # per-shard-brick non-rigid fusion (zero collectives — the GSPMD
@@ -102,7 +115,7 @@ def make_sharded_step(
     def _step(state, depth):
         state, out = kinfu.step(
             cfg, state, depth, warp_system_fn=system_fn, warp_eval_fn=eval_fn,
-            integrate_fn=integrate_fn,
+            integrate_fn=integrate_fn, warp_solve_fn=solve_fn,
         )
         return state, out
 

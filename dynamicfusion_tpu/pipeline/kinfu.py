@@ -104,6 +104,37 @@ def _raycast_seed(cfg: DynamicFusionConfig, dists: jnp.ndarray):
     return jnp.where(d > 0, d, jnp.where(jnp.isfinite(near), near, 0.0))
 
 
+def _temporal_band(
+    cfg: DynamicFusionConfig,
+    prev_can_points: jnp.ndarray,
+    dists: jnp.ndarray,
+):
+    """Per-pixel march band for the model raycast from the previous frame's
+    canonical model map UNION the live dists (cfg.raycast_temporal_band
+    docstring): [min - m, max + m] over a 5x5 pixel window of both sources'
+    surface distances. The model map is in the camera frame, so |p| IS the
+    ray distance; one frame of pose change (mm-scale at tracking rates) is
+    absorbed by the margin."""
+    s = cfg.raycast_subsample
+    t_prev = jnp.linalg.norm(prev_can_points, axis=-1)  # NaN where miss
+    live = dists[::s, ::s]
+    lo_src = jnp.minimum(
+        jnp.where(jnp.isnan(t_prev), jnp.inf, t_prev),
+        jnp.where(live > 0, live, jnp.inf),
+    )
+    hi_src = jnp.maximum(
+        jnp.where(jnp.isnan(t_prev), -jnp.inf, t_prev),
+        jnp.where(live > 0, live, -jnp.inf),
+    )
+    lo = jax.lax.reduce_window(lo_src, jnp.inf, jax.lax.min, (5, 5), (1, 1), "SAME")
+    hi = jax.lax.reduce_window(hi_src, -jnp.inf, jax.lax.max, (5, 5), (1, 1), "SAME")
+    m = cfg.raycast_band_margin
+    any_hit = jnp.isfinite(lo)
+    lo = jnp.where(any_hit, jnp.maximum(lo - m, 0.0), 0.0)
+    hi = jnp.where(any_hit, hi + m, 0.0)
+    return lo, hi
+
+
 def _model_maps(
     cfg: DynamicFusionConfig,
     vol: TsdfVolume,
@@ -111,6 +142,7 @@ def _model_maps(
     pose: jnp.ndarray,
     t_seed: jnp.ndarray | None = None,
     dq_grid: jnp.ndarray | None = None,
+    t_band: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Raycast the canonical model at `pose` (at 1/cfg.raycast_subsample
     resolution, seeded by the live dists when given); return (tracking
@@ -122,13 +154,14 @@ def _model_maps(
     cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
     rows_t = cfg.rows // cfg.raycast_subsample
     cols_t = cfg.cols // cfg.raycast_subsample
-    band = (
-        tsdf_ops.raycast_coarse_band(
-            cfg, vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+    if t_band is None:
+        t_band = (
+            tsdf_ops.raycast_coarse_band(
+                cfg, vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+            )
+            if _use_coarse_band(cfg, rows_t, cols_t)
+            else None
         )
-        if _use_coarse_band(cfg, rows_t, cols_t)
-        else None
-    )
     res = tsdf_ops.raycast(
         cfg,
         vol,
@@ -137,7 +170,7 @@ def _model_maps(
         rows_t,
         cols_t,
         t_seed=t_seed,
-        t_band=band,
+        t_band=t_band,
     )
     if cfg.track_against_warped and not cfg.rigid_only:
         shape = res.points.shape
@@ -215,6 +248,7 @@ def step(
     warp_system_fn=None,
     warp_eval_fn=None,
     integrate_fn=None,
+    warp_solve_fn=None,
 ) -> Tuple[PipelineState, StepOutputs]:
     """One full DynamicFusion frame (KinFu::operator() + dynamicfusion()).
 
@@ -227,7 +261,11 @@ def step(
     fusion override (parallel.sharded_fusion.make_sharded_integrate —
     per-shard brick lists, zero collectives); it receives the fusion gate
     as ``enabled`` and masks internally instead of the lax.cond below
-    (shard_map under lax.cond is SPMD-partitioner poison, CLAUDE.md)."""
+    (shard_map under lax.cond is SPMD-partitioner poison, CLAUDE.md).
+    ``warp_solve_fn(field, inputs) -> (field, stats)``: full override of
+    the warp solve (parallel.distributed_gn.make_sharded_solve — the
+    distributed-PCG mode whose whole LM loop runs in one shard_map);
+    takes precedence over warp_system_fn/warp_eval_fn."""
     shift = cfg.raycast_shift
     stride = max(1, cfg.solver_point_stride // cfg.raycast_subsample)
 
@@ -263,7 +301,12 @@ def step(
             lambda: (state.vol, jnp.zeros((3,), jnp.int32)),
         )
         (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
-            cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists)
+            cfg, vol, state.warp, pose, t_seed=_raycast_seed(cfg, dists),
+            t_band=(
+                _temporal_band(cfg, state.can_points, dists)
+                if cfg.raycast_temporal_band
+                else None
+            ),
         )
         new_state = PipelineState(
             vol=vol,
@@ -299,13 +342,16 @@ def step(
         cam2vol = se3.compose(se3.inverse(_vol_pose(cfg)), pose)
         rows_t = cfg.rows // cfg.raycast_subsample
         cols_t = cfg.cols // cfg.raycast_subsample
-        band = (
-            tsdf_ops.raycast_coarse_band(
-                cfg, state.vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+        if cfg.raycast_temporal_band:
+            band = _temporal_band(cfg, state.can_points, dists)
+        else:
+            band = (
+                tsdf_ops.raycast_coarse_band(
+                    cfg, state.vol, cam2vol, cfg.intr.level(shift), rows_t, cols_t
+                )
+                if _use_coarse_band(cfg, rows_t, cols_t)
+                else None
             )
-            if _use_coarse_band(cfg, rows_t, cols_t)
-            else None
-        )
         model = tsdf_ops.raycast(
             cfg,
             state.vol,
@@ -359,9 +405,12 @@ def step(
         )
 
     # ---- 4. non-rigid warp-field solve ----
-    warp, stats = warp_solver.solve(
-        cfg, state.warp, inputs, system_fn=warp_system_fn, eval_fn=warp_eval_fn
-    )
+    if warp_solve_fn is not None:
+        warp, stats = warp_solve_fn(state.warp, inputs)
+    else:
+        warp, stats = warp_solver.solve(
+            cfg, state.warp, inputs, system_fn=warp_system_fn, eval_fn=warp_eval_fn
+        )
     if cfg.solver_remove_net_rigid:
         # optional belt-and-suspenders gauge anchor (off by default: the
         # rigid prealign above prevents absorption at the source, and full
@@ -399,10 +448,13 @@ def step(
     fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
     if cfg.fusion_incidence_weight:
         # per-pixel |cos| of the live normal against the viewing ray, at
-        # the full-res pixels fusion looks up (config flag docstring)
+        # the full-res pixels fusion looks up (config flag docstring);
+        # valid pixels keep at least fusion_incidence_floor so
+        # grazing-only surface still accumulates extraction evidence
         p0, n0 = pts_pyr[0], nrm_pyr[0]
         pn = p0 / jnp.maximum(jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-9)
-        conf = jnp.nan_to_num(jnp.abs(jnp.sum(n0 * pn, axis=-1)))
+        cosv = jnp.abs(jnp.sum(n0 * pn, axis=-1))
+        conf = jnp.nan_to_num(jnp.maximum(cosv, cfg.fusion_incidence_floor))
     else:
         conf = None
     if integrate_fn is not None:
@@ -436,6 +488,11 @@ def step(
     (prev_pts, prev_nrm), can_pts, can_nrm = _model_maps(
         cfg, vol, warp, pose, t_seed=_raycast_seed(cfg, dists),
         dq_grid=dq_grid if full_scale else None,
+        t_band=(
+            _temporal_band(cfg, state.can_points, dists)
+            if cfg.raycast_temporal_band
+            else None
+        ),
     )
 
     new_state = PipelineState(
@@ -479,6 +536,18 @@ class DynamicFusion:
     per-frame computation stays on device."""
 
     def __init__(self, cfg: DynamicFusionConfig):
+        if cfg.rigid_only and cfg.raycast_refine in ("newton8", "newton16"):
+            # structural de-mine (round 4): the Newton refines carry a
+            # measured grazing-incidence crossing bias that breaks RIGID
+            # tracking at coarse volumes (64^3 3-frame orbit: 37-44 mm pose
+            # error vs 3.5 mm secant — config.raycast_refine); the warp
+            # solve that absorbs it in non-rigid mode doesn't exist here.
+            # Five cheaper hybrid variants were tried and none passed the
+            # orbit gate (ops/tsdf.py "hybrid16"), so rigid mode pins the
+            # secant refine instead of trusting preset discipline.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, raycast_refine="secant")
         self.cfg = cfg
         self.state = init_state(cfg)
         self._first = _jitted_first(cfg)

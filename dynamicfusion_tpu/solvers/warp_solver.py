@@ -162,6 +162,7 @@ def prepare(
     field: WarpField,
     inputs: WarpSolveInputs,
     point_to_plane: bool,
+    global_points: int | None = None,
 ) -> SolveStructure:
     """Build the per-solve structure: data-term KNN + weights + validity and
     the ARAP edge graph (fixed for all LM iterations of one solve).
@@ -170,9 +171,15 @@ def prepare(
     (a strided pixel subset of an already-dense surface sampling); the
     whole solve — cost, gradient, Hessian — then runs on the same
     consistent, hs-importance-weighted objective. P >> 6*N_nodes survives
-    comfortably (e.g. 19200 residuals for 6144 dof at the bench shape)."""
+    comfortably (e.g. 19200 residuals for 6144 dof at the bench shape).
+
+    ``global_points``: the WHOLE solve's point count when `inputs` is one
+    shard of it (solve's axis_name mode runs prepare per shard) — the
+    full-scale/hs decisions must match the single-device solve for
+    cross-mesh behavioral equivalence."""
     k = cfg.knn_k
-    hs = cfg.solver_hessian_stride if inputs.p_can.shape[0] > 8192 else 1
+    gp = global_points if global_points is not None else inputs.p_can.shape[0]
+    hs = cfg.solver_hessian_stride if gp > 8192 else 1
     inputs = WarpSolveInputs(*(a[::hs] for a in inputs))
     valid = (
         ~jnp.isnan(inputs.p_can[:, 0])
@@ -584,30 +591,26 @@ def gn_eval(
 # --------------------------------------------------------------------------
 
 
+def _diag_blocks(a: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """(N, 6, 6) per-node diagonal blocks of a (6N, 6N) matrix."""
+    blocks = a.reshape(n_nodes, 6, n_nodes, 6)
+    ar = jnp.arange(n_nodes)
+    return blocks[ar, :, ar, :]
+
+
 def _block_diag_inv(a: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     """(N, 6, 6) inverses of the per-node diagonal blocks of a (6N, 6N)
     SPD matrix — the block-Jacobi preconditioner (the same per-node Schur
     block the distributed GN reduces over)."""
-    blocks = a.reshape(n_nodes, 6, n_nodes, 6)
-    ar = jnp.arange(n_nodes)
-    diag_blocks = blocks[ar, :, ar, :]  # (N, 6, 6)
-    return jnp.linalg.inv(diag_blocks)
+    return jnp.linalg.inv(_diag_blocks(a, n_nodes))
 
 
-def _pcg_solve(
-    a: jnp.ndarray,
-    b: jnp.ndarray,
-    n_nodes: int,
-    iters: int,
-    rtol: float,
-) -> jnp.ndarray:
-    """Preconditioned conjugate gradients with the block-Jacobi (per-node
-    6x6) preconditioner — the structure of the reference's actually-used
-    solver (Opt GN/LM with linearIter=100 PCG, kinfu.cpp:116-117), kept on
-    device: each iteration is one (6N,6N) matvec + O(6N) vector work, and
-    under a sharded mesh the matvec psums over node shards (vs the O((6N)^3)
-    replicated Cholesky)."""
-    minv = _block_diag_inv(a, n_nodes)
+def _pcg(matvec, minv: jnp.ndarray, b: jnp.ndarray, n_nodes: int, iters: int, rtol: float) -> jnp.ndarray:
+    """Preconditioned conjugate gradients over an abstract SPD ``matvec``
+    with the block-Jacobi (per-node 6x6) preconditioner ``minv`` (N, 6, 6).
+    Under a sharded mesh the matvec psums a per-shard partial product
+    (24.6 KB/iteration at 1024 nodes) — the distributed linear solve of
+    SCALING.md §4."""
 
     def apply_m(v):
         return jnp.einsum("nij,nj->ni", minv, v.reshape(n_nodes, 6)).reshape(-1)
@@ -624,7 +627,7 @@ def _pcg_solve(
 
     def body(st):
         i, x, r, p, rz = st
-        ap = a @ p
+        ap = matvec(p)
         alpha = rz / jnp.maximum(jnp.dot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
@@ -639,6 +642,18 @@ def _pcg_solve(
     return x
 
 
+def _pcg_solve(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_nodes: int,
+    iters: int,
+    rtol: float,
+) -> jnp.ndarray:
+    """Dense-matrix PCG (the reference Opt solver's GN+PCG structure,
+    kinfu.cpp:116-117) — single-device convenience wrapper of _pcg."""
+    return _pcg(lambda p: a @ p, _block_diag_inv(a, n_nodes), b, n_nodes, iters, rtol)
+
+
 def _solve_linear(cfg: DynamicFusionConfig, damped: jnp.ndarray, jtr: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     if cfg.solver_linear == "pcg":
         return -_pcg_solve(
@@ -647,6 +662,14 @@ def _solve_linear(cfg: DynamicFusionConfig, damped: jnp.ndarray, jtr: jnp.ndarra
     return -jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(damped, lower=True), jtr
     )
+
+
+def _should_reuse_chol(cfg: DynamicFusionConfig, use_lagged: bool) -> bool:
+    """Whether the LM loop can carry ONE Cholesky factor across iterations
+    (cfg.solver_chol_reuse): valid only with the lagged-JtJ Hessian (jtj is
+    constant within a solve, so the damped matrix changes ONLY through the
+    LM lambda) and the direct linear solver."""
+    return cfg.solver_chol_reuse and use_lagged and cfg.solver_linear == "direct"
 
 
 # --------------------------------------------------------------------------
@@ -729,6 +752,8 @@ def solve(
     point_to_plane: Optional[bool] = None,
     system_fn=None,
     eval_fn=None,
+    axis_name: Optional[str] = None,
+    axis_size: int = 1,
 ) -> Tuple[WarpField, SolveStats]:
     """Estimate the warp field for the current frame.
 
@@ -745,13 +770,56 @@ def solve(
 
     ``eval_fn(s, dqs) -> (jtr, cost)`` enables the LAGGED-JtJ loop (see
     below; built automatically from cfg.solver_lagged_jtj for the local
-    path, or pass distributed_gn.make_eval_fn for the sharded one)."""
+    path, or pass distributed_gn.make_eval_fn for the sharded one).
+
+    ``axis_name`` (with static mesh size ``axis_size``): fully-distributed
+    mode — the WHOLE solve body runs inside a shard_map over a point shard
+    of `inputs` with nodes replicated (parallel.distributed_gn.
+    make_sharded_solve wraps it). The data-term Gram stays UNSUMMED
+    per-shard; only (6N,)-sized reductions ever cross the wire: the psum'd
+    gradient/cost, the pmax'd int8 column scales, the once-per-solve psum
+    of the diagonal + (N,6,6) preconditioner blocks, and one 24.6 KB psum
+    per PCG matvec — ~0.9 MB per solve at 1024 nodes vs the 151 MB Schur
+    all-reduce of the summed assembly (SCALING.md §4). Requires
+    solver_lagged_jtj and solver_linear == "pcg"."""
     if point_to_plane is None:
         point_to_plane = cfg.point_to_plane
     n_nodes = field.positions.shape[0]
     dof = 6 * n_nodes
 
-    s = prepare(cfg, field, inputs, point_to_plane)
+    if axis_name is not None:
+        assert cfg.solver_lagged_jtj and cfg.solver_linear == "pcg", (
+            "distributed-PCG solve mode needs the lagged-JtJ loop and the "
+            "pcg linear solver (cfg.solver_lagged_jtj, solver_linear)"
+        )
+        assert system_fn is None and eval_fn is None
+
+        def system_fn(s_, dqs_):
+            jtj_d, jtr_d, cost_d = data_system(
+                cfg, s_, dqs_, n_nodes, point_to_plane,
+                col_scale_reduce=lambda m: jax.lax.pmax(m, axis_name),
+            )
+            jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
+            jtj_e, jtr_e, cost_e = edge_system(cfg, s_, dqs_, n_nodes)
+            # the edge system is replicated node-space work: fold 1/n of it
+            # into each LOCAL Gram so the implicit sum over shards (the PCG
+            # matvec's psum) recovers it exactly once
+            return jtj_d + jtj_e / axis_size, jtr_d + jtr_e, cost_d + cost_e
+
+        def eval_fn(s_, dqs_):
+            r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
+            jtr_d = data_jtr(s_, jac, r, n_nodes)
+            jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
+            re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s_, dqs_)
+            jtr_e = edge_jtr(s_, je_i, je_j, re, n_nodes)
+            return jtr_d + jtr_e, cost_d + cost_e
+
+    s = prepare(
+        cfg, field, inputs, point_to_plane,
+        global_points=(
+            inputs.p_can.shape[0] * axis_size if axis_name is not None else None
+        ),
+    )
 
     # ---- outer LM loop ----
     dqs = field.dq
@@ -800,8 +868,37 @@ def solve(
         jtr = jnp.zeros((dof,))
         cost_init = jnp.zeros(())
 
+    use_matvec = axis_name is not None
+    if use_matvec:
+        # the ONLY full-matrix reductions of the distributed solve, once
+        # per relinearization: the (6N,) diagonal (damping) and the
+        # (N,6,6) diagonal blocks (block-Jacobi preconditioner). The Gram
+        # itself stays per-shard; every PCG matvec psums its (6N,) product.
+        diag_full = jax.lax.psum(jnp.diagonal(jtj), axis_name)
+        blocks_full = jax.lax.psum(_diag_blocks(jtj, n_nodes), axis_name)
+
+    reuse_chol = _should_reuse_chol(cfg, use_lagged) and not use_matvec
+
+    def _damped_system(jtj, lm_lambda):
+        # LM damping on the diagonal + unit diagonal for inactive/empty dofs.
+        # The damping floor (a fraction of the mean active diagonal) keeps
+        # weakly-observed nodes — a handful of Tukey-weighted points for 6
+        # dof — from taking near-unregularized steps: measured 150-480 mm
+        # runaway translations on silhouette nodes without it.
+        diag = jnp.diagonal(jtj)
+        mean_diag = jnp.sum(jnp.where(active_dof, diag, 0.0)) / jnp.maximum(
+            jnp.sum(active_dof.astype(jnp.float32)), 1.0
+        )
+        diag_eff = jnp.maximum(diag, cfg.solver_damping_floor * mean_diag)
+        return (
+            jtj
+            + jnp.diag(lm_lambda * diag_eff)
+            + jnp.diag(jnp.where(active_dof & (diag > 1e-12), 1e-8, 1.0))
+        )
+
     def lm_iteration(st):
-        it, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, need_relin, _ = st
+        (it, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, chol,
+         need_relin, _) = st
         if use_lagged:
             cost_lin = jnp.where(it == 0, cost_init, cost_prev)
         else:
@@ -814,22 +911,49 @@ def solve(
         # iteration 0 it is the solve's initial cost)
         cost_prev = cost_lin
         cost0 = jnp.where(it == 0, cost_lin, cost0)
-        # LM damping on the diagonal + unit diagonal for inactive/empty dofs.
-        # The damping floor (a fraction of the mean active diagonal) keeps
-        # weakly-observed nodes — a handful of Tukey-weighted points for 6
-        # dof — from taking near-unregularized steps: measured 150-480 mm
-        # runaway translations on silhouette nodes without it.
-        diag = jnp.diagonal(jtj)
-        mean_diag = jnp.sum(jnp.where(active_dof, diag, 0.0)) / jnp.maximum(
-            jnp.sum(active_dof.astype(jnp.float32)), 1.0
-        )
-        diag_eff = jnp.maximum(diag, cfg.solver_damping_floor * mean_diag)
-        damped = (
-            jtj
-            + jnp.diag(lm_lambda * diag_eff)
-            + jnp.diag(jnp.where(active_dof & (diag > 1e-12), 1e-8, 1.0))
-        )
-        step = _solve_linear(cfg, damped, jtr, n_nodes)
+        if use_matvec:
+            # distributed PCG on the per-shard Grams: damping is applied
+            # AFTER the matvec's psum (the psum of local Grams is the full
+            # undamped JtJ), so the solved system is exactly the dense
+            # path's damped one
+            diag = diag_full
+            mean_diag = jnp.sum(jnp.where(active_dof, diag, 0.0)) / jnp.maximum(
+                jnp.sum(active_dof.astype(jnp.float32)), 1.0
+            )
+            diag_eff = jnp.maximum(diag, cfg.solver_damping_floor * mean_diag)
+            damp = lm_lambda * diag_eff + jnp.where(
+                active_dof & (diag > 1e-12), 1e-8, 1.0
+            )
+            minv = jnp.linalg.inv(
+                blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
+            )
+            mv = lambda p: jax.lax.psum(jtj @ p, axis_name) + damp * p
+            step = -_pcg(
+                mv, minv, jtr, n_nodes, cfg.solver_linear_iters,
+                cfg.solver_linear_tol,
+            )
+        elif reuse_chol:
+            # ONE Cholesky factorization per solve (chord/Shamanskii, like
+            # the lagged Hessian itself): the factor is rebuilt only when a
+            # REJECTED step raised lm_lambda by 8x (a materially different
+            # damped matrix — and reusing the factor there would re-produce
+            # the identical rejected candidate). After an ACCEPT, lambda
+            # only halves: at the warm-started operating point it sits at
+            # <= 1e-4 of the diagonal, so the slightly-staler (more damped)
+            # factor changes the step negligibly while accept/reject stays
+            # exact-cost. Saves the ~9 ms (6144-dof) factorization on every
+            # accepted iteration after the first.
+            chol = jax.lax.cond(
+                (it == 0) | ~need_relin,  # need_relin = previous step accepted
+                lambda: jax.scipy.linalg.cho_factor(
+                    _damped_system(jtj, lm_lambda), lower=True
+                )[0],
+                lambda: chol,
+            )
+            step = -jax.scipy.linalg.cho_solve((chol, True), jtr)
+        else:
+            damped = _damped_system(jtj, lm_lambda)
+            step = _solve_linear(cfg, damped, jtr, n_nodes)
         step = step.reshape(n_nodes, 6)
         step = jnp.where(
             field.active[:, None] & jnp.isfinite(step).all(-1, keepdims=True),
@@ -859,7 +983,8 @@ def solve(
         converged = better & (
             improvement <= cfg.solver_function_tolerance * jnp.maximum(cost_prev, 1e-20)
         )
-        return (it + 1, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr, better, converged)
+        return (it + 1, dqs, lm_lambda, cost_prev, cost0, accepted, jtj, jtr,
+                chol, better, converged)
 
     # while_loop (not an unrolled cond chain): same early-exit semantics,
     # one compiled body. NB an unrolled chain of lax.cond(converged, ...)
@@ -869,9 +994,10 @@ def solve(
         return (st[0] < cfg.solver_nonlinear_iters) & ~st[-1]
 
     zero = jnp.zeros(())
+    chol0 = jnp.zeros((dof, dof)) if reuse_chol else jnp.zeros(())
     st = (
         jnp.zeros((), jnp.int32), dqs, lm_lambda, zero, zero, accepted,
-        jtj, jtr, jnp.array(True), jnp.array(False),
+        jtj, jtr, chol0, jnp.array(True), jnp.array(False),
     )
     st = jax.lax.while_loop(lm_cond, lm_iteration, st)
     dqs, lm_lambda, cost_prev, cost0, accepted = st[1], st[2], st[3], st[4], st[5]

@@ -60,20 +60,27 @@ def _census(hlo):
     return out
 
 
-def test_step_collective_budget():
+def _contract_cfg(**over):
     scale = 320 / 640.0
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         DynamicFusionConfig.default_dynamicfusion(),
         rows=240, cols=320, volume_dims=128, max_nodes=512,
         intr=Intrinsics(570.342 * scale, 570.342 * scale, 160.0, 120.0),
+        **over,
     )
+
+
+def _step_census(cfg):
     mesh = sharded.make_mesh(8)
     step = sharded.make_sharded_step(cfg, mesh)
     state = sharded.shard_state(cfg, mesh, kinfu.init_state(cfg))
     depth = jnp.zeros((cfg.rows, cfg.cols), jnp.uint16)
+    return _census(step.lower(state, depth).compile().as_text())
 
-    hlo = step.lower(state, depth).compile().as_text()
-    ops = _census(hlo)
+
+def test_step_collective_budget():
+    cfg = _contract_cfg()
+    ops = _step_census(cfg)
 
     dof = 6 * cfg.max_nodes
     schur = dof * dof * 4
@@ -99,3 +106,34 @@ def test_step_collective_budget():
     # small (halos, depth broadcast, eval-gradient psums)
     total = sum(b for _, b in ops)
     assert total < 1.3 * schur + 8e6, total / 1e6
+
+
+def test_step_collective_budget_pcg():
+    """The distributed-PCG mode (solver_linear='pcg' routes the warp solve
+    through parallel.distributed_gn.make_sharded_solve): the (6N,6N) Schur
+    all-reduce is GONE — the solver's wire traffic is (6N,)-sized psums
+    (gradient/cost/diag/matvec) plus one (N,6,6) preconditioner-block
+    round, <1 MB per solve at this shape. The static whole-step census
+    must contain NO Gram-sized collective and stay small overall."""
+    cfg = _contract_cfg(solver_linear="pcg")
+    ops = _step_census(cfg)
+
+    dof = 6 * cfg.max_nodes
+    schur = dof * dof * 4
+    vol_bytes = cfg.volume_dims ** 3 * 4
+
+    solver_biggest = cfg.max_nodes * 36 * 4  # the (N,6,6) block psum
+    for kind, nbytes in ops:
+        assert nbytes < schur, (kind, nbytes, "Gram-sized collective in PCG mode")
+        assert nbytes < vol_bytes, (kind, nbytes, "volume-sized collective")
+
+    # static total: solver rounds are all (6N,)/(N,6,6)-sized; what remains
+    # is the march-loop fetches + halos + small reshapes (same classes as
+    # the direct mode, which measured ~2.2 MB static beyond the Schur round
+    # at this shape)
+    total = sum(b for _, b in ops)
+    solver_total = sum(
+        b for _, b in ops if b <= solver_biggest
+    )
+    assert solver_total < 1e6, solver_total / 1e6
+    assert total < 12e6, total / 1e6

@@ -139,6 +139,24 @@ class TestDistributedSolve:
             np.asarray(f_dist.dq), np.asarray(f_ref.dq), atol=5e-4
         )
 
+    def test_sharded_pcg_matches_single_device(self, mesh):
+        """The UNSUMMED-Gram distributed-PCG solve (make_sharded_solve):
+        identical damped operator as the single-device dense-PCG path —
+        matvec = psum(per-shard Gram @ p) + damp*p — so the solved field
+        must match to f32 reduction-order noise."""
+        cfg = dataclasses.replace(CFG, solver_linear="pcg")
+        field = _field()
+        inputs = _inputs(n=48, shift=(0.03, -0.02, 0.04))
+        f_ref, st_ref = jax.jit(lambda f, i: warp_solver.solve(cfg, f, i))(field, inputs)
+        solve_fn = distributed_gn.make_sharded_solve(cfg, mesh, False)
+        f_dist, st = jax.jit(solve_fn)(field, inputs)
+        np.testing.assert_allclose(
+            np.asarray(f_dist.dq), np.asarray(f_ref.dq), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            float(st.final_cost), float(st_ref.final_cost), rtol=1e-3, atol=1e-7
+        )
+
 
 class TestCompiledCollectives:
     def test_one_allreduce_round_per_relinearization(self, mesh):
@@ -181,3 +199,25 @@ class TestCompiledCollectives:
             # ...and never all-gathered / resharded
             assert "stablehlo.all_gather" not in txt
             assert "stablehlo.all_to_all" not in txt
+
+    def test_sharded_pcg_no_gram_sized_collective(self, mesh):
+        """The distributed-PCG solve's contract (SCALING.md §4): the
+        (6N,6N) Gram NEVER crosses the wire — every collective in the
+        lowered whole-solve program is at most (N,6,6)-sized (the
+        preconditioner-block psum)."""
+        import re
+
+        cfg = dataclasses.replace(CFG, solver_linear="pcg")
+        field = _field()
+        inputs = _inputs(n=48)
+        solve_fn = distributed_gn.make_sharded_solve(cfg, mesh, False)
+        txt = jax.jit(solve_fn).lower(field, inputs).as_text()
+        n_nodes = field.positions.shape[0]
+        biggest_ok = n_nodes * 36  # the (N,6,6) preconditioner blocks
+        for m in re.finditer(r"stablehlo\.all_reduce.*?tensor<([0-9x]*)x?f32>", txt, re.S):
+            dims = [int(d) for d in m.group(1).split("x") if d]
+            n = 1
+            for d in dims:
+                n *= d
+            assert n <= biggest_ok, (dims, n)
+        assert "stablehlo.all_to_all" not in txt
