@@ -199,9 +199,10 @@ def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
         pts = pts[near & (pts[:, 2] < 1.2)]
         err = np.minimum(np.abs(np.linalg.norm(pts - ca, axis=-1) - r),
                          np.abs(np.linalg.norm(pts - cb, axis=-1) - r))
-        sa, _ = _visible_sphere_samples(ca, r, occluders=[dict(center=cb, radius=r)])
-        sb, _ = _visible_sphere_samples(cb, r, occluders=[dict(center=ca, radius=r)])
+        sa, ca_i = _visible_sphere_samples(ca, r, occluders=[dict(center=cb, radius=r)])
+        sb, cb_i = _visible_sphere_samples(cb, r, occluders=[dict(center=ca, radius=r)])
         samples = np.concatenate([sa, sb], axis=0)
+        cos_inc = np.concatenate([ca_i, cb_i], axis=0)
         metric = "holdout_hinge_error_mm"
         unit = "mm (median |surface - analytic|, articulated two-sphere hold-out)"
     else:
@@ -213,12 +214,20 @@ def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
         bg = np.linalg.norm(pts - np.asarray(BG_SPHERE["center"]), axis=-1) < 0.16
         pts = pts[near & ~bg]
         err = np.abs(np.linalg.norm(pts - np.asarray(center), axis=-1) - radius)
-        samples, _ = _visible_sphere_samples(center, radius, occluders=[BG_SPHERE])
+        samples, cos_inc = _visible_sphere_samples(center, radius, occluders=[BG_SPHERE])
         metric = ("rigid_" if cfg.rigid_only else "") + "canonical_reconstruction_error_mm"
         unit = "mm (median |surface - analytic|, deforming sphere)"
     med_mm = float(np.median(err)) * 1000.0 if len(err) else float("inf")
     p95_mm = float(np.percentile(err, 95)) * 1000.0 if len(err) else float("inf")
-    cov = _coverage(pts, samples, cfg.voxel_size)
+    # coverage support = samples the (simulated) sensor can actually
+    # observe: the Kinect noise model drops ALL pixels beyond 84 deg
+    # incidence and ramps from 70 deg (io.synthetic.kinect_noise), so
+    # surface seen only past ~81 deg (cos < 0.15) is absent from the INPUT
+    # — unreconstructable by any pipeline. `surface_coverage` gates quality
+    # changes; `surface_coverage_all` (no incidence cut) rides along so the
+    # cut itself can't hide survivorship.
+    cov = _coverage(pts, samples[cos_inc >= 0.15], cfg.voxel_size)
+    cov_all = _coverage(pts, samples, cfg.voxel_size)
     result = {
         "metric": metric + ("_kinect_noise" if noise else ""),
         "value": round(med_mm, 3),
@@ -230,6 +239,7 @@ def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
         "seed": seed,
         "surface_points": int(len(pts)),
         "surface_coverage": round(cov, 4),
+        "surface_coverage_all": round(cov_all, 4),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--rows", type=int, default=480)
     ap.add_argument("--cols", type=int, default=640)
     ap.add_argument("--nodes", type=int, default=1024)
+    ap.add_argument("--solver", default="direct", choices=["direct", "pcg"],
+                    help="'pcg' = the distributed-PCG solve (unsummed "
+                         "per-shard Grams, no Schur all-reduce; SCALING.md "
+                         "§4); 'direct' = summed Schur + replicated Cholesky")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -115,6 +119,7 @@ def main():
         volume_dims=args.dims,
         max_nodes=args.nodes,
         intr=Intrinsics(570.342 * scale, 570.342 * scale, args.cols / 2.0, args.rows / 2.0),
+        solver_linear=args.solver,
     )
     mesh = sharded.make_mesh(8)
     step = sharded.make_sharded_step(cfg, mesh)
