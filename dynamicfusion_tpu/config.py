@@ -419,11 +419,32 @@ class DynamicFusionConfig:
           fewer integrations bake in fewer grazing observations between
           warp-settled states.
         - fusion_incidence_weight: grazing observations down-weighted by
-          |cos incidence| (see the flag's docstring)."""
+          |cos incidence| (see the flag's docstring).
+
+        Round-4 additions (measured on the v5e bench):
+        - raycast_temporal_band: -6.3 ms/frame (117.1 -> 110.8), quality
+          battery unchanged.
+        - fusion_incidence_floor=0.35 + extract_min_weight=0.3: the
+          COVERAGE operating point. Round 3's extract_min_weight=2.0
+          scored its error only on confidently-observed voxels — surface
+          coverage (bench.py metric, sensor-observable support) was 55%
+          at 20 noise-on frames because the whole grazing silhouette ring
+          was suppressed. These values hit the >=95% coverage gate
+          (0.95-0.96 across seeds) while the error battery stays at
+          med 0.74-0.86 / p95 2.0-2.7 mm (round 3: 0.75-0.95 / 2.0-2.6 on
+          ~half the surface). The cost is honest: the noiseless 25-frame
+          tail p95 is 10.1 mm (was 3.05 with the ring suppressed) — the
+          ring's grazing-incidence crossing error is now REPORTED instead
+          of hidden; at matched coverage round 3's figure was worse
+          (weight>0 extraction: p95 3.21 noise-on vs 2.58 here, sweep
+          record in CLAUDE.md)."""
         return cls(
             raycast_refine="newton8",
             fusion_interval=4,
             fusion_incidence_weight=True,
+            raycast_temporal_band=True,
+            fusion_incidence_floor=0.35,
+            extract_min_weight=0.3,
         )
 
     @classmethod
