@@ -196,18 +196,23 @@ def _model_maps(
 
 def init_state(cfg: DynamicFusionConfig) -> PipelineState:
     shift = cfg.raycast_shift
-    zero_maps = tuple(
-        jnp.full((cfg.rows >> (l + shift), cfg.cols >> (l + shift), 3), jnp.nan)
-        for l in range(cfg.track_levels)
-    )
+
+    # fresh arrays per field — the jitted step donates the state, and
+    # donation rejects aliased leaves
+    def zero_maps():
+        return tuple(
+            jnp.full((cfg.rows >> (l + shift), cfg.cols >> (l + shift), 3), jnp.nan)
+            for l in range(cfg.track_levels)
+        )
+
     return PipelineState(
         vol=volume_model.create(cfg),
         warp=warpfield.create(cfg),
         pose=se3.identity(),
-        prev_points=zero_maps,
-        prev_normals=zero_maps,
-        can_points=zero_maps[0],
-        can_normals=zero_maps[0],
+        prev_points=zero_maps(),
+        prev_normals=zero_maps(),
+        can_points=zero_maps()[0],
+        can_normals=zero_maps()[0],
         frame_idx=jnp.zeros((), jnp.int32),
     )
 
@@ -520,12 +525,16 @@ def step(
 
 @functools.lru_cache(maxsize=64)
 def _jitted_first(cfg: DynamicFusionConfig):
-    return jax.jit(lambda s, d: first_frame(cfg, s, d))
+    # donate_argnums=0: the pre-frame state's buffers (the ~134 MB volume
+    # included) are reused for the output instead of copied — callers never
+    # touch the previous state object after a step (and device snapshots
+    # must np.asarray BEFORE stepping, which tests already do)
+    return jax.jit(lambda s, d: first_frame(cfg, s, d), donate_argnums=0)
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_step(cfg: DynamicFusionConfig):
-    return jax.jit(lambda s, d: step(cfg, s, d))
+    return jax.jit(lambda s, d: step(cfg, s, d), donate_argnums=0)
 
 
 class DynamicFusion:
@@ -553,20 +562,36 @@ class DynamicFusion:
         self._first = _jitted_first(cfg)
         self._step = _jitted_step(cfg)
         self.last_outputs: StepOutputs | None = None
+        self._started = False
         self.poses = [jnp.eye(4)]  # trajectory (KinFu::poses_, kinfu.hpp:86)
 
     def __call__(self, depth_mm, block: bool = True) -> bool:
         """Process one frame. With block=False the call only dispatches
         (JAX async) and returns True — consecutive frames then pipeline on
         device with no host sync in the loop (the streaming mode of
-        BASELINE config 4); read ``last_ok`` / ``last_outputs`` to sync."""
+        BASELINE config 4); read ``last_ok`` / ``last_outputs`` to sync.
+
+        The first-frame branch runs off a HOST flag, not the device
+        frame_idx: fetching a scalar from the previous step's state here
+        would block dispatch on the previous frame's completion every
+        frame — a measured ~20 ms/frame pipeline bubble through the axon
+        tunnel (round 4). Restoring a mid-sequence state from a
+        checkpoint goes through ``restore()``, which sets the flag."""
         depth_mm = jnp.asarray(depth_mm, jnp.uint16)
-        if int(self.state.frame_idx) == 0:
+        if not self._started:
             self.state = self._first(self.state, depth_mm)
+            self._started = True
             return False
         self.state, self.last_outputs = self._step(self.state, depth_mm)
         self.poses.append(self.last_outputs.pose)
         return self.last_ok if block else True
+
+    def restore(self, state: PipelineState):
+        """Adopt a (checkpoint-loaded) state; subsequent calls run full
+        steps unless the state is a frame-0 init state."""
+        self.state = state
+        self._started = int(state.frame_idx) > 0
+        self.last_outputs = None
 
     @property
     def last_ok(self) -> bool:
@@ -574,6 +599,8 @@ class DynamicFusion:
 
     def reset(self):
         self.state = init_state(self.cfg)
+        self._started = False
+        self.last_outputs = None
         self.poses = [jnp.eye(4)]
 
     def get_pose(self, time: int = -1):

@@ -567,6 +567,63 @@ def edge_jtr(
     ).reshape(-1)
 
 
+def edge_blocks(
+    s: SolveStructure,
+    je_i: jnp.ndarray,
+    je_j: jnp.ndarray,
+    n_nodes: int,
+):
+    """FACTORED ARAP edge system for the matrix-free PCG path: the four
+    per-edge 6x6 blocks are kept as (E,6,6) batches instead of being
+    placed into the dense (6N,6N) matrix. The dense placement
+    (edge_jtj) costs ~2 ms of einsums PLUS a measured 12.4 ms/frame
+    layout-transpose copy of the 151 MB result on v5e (XLA materializes
+    the (n,a,m,b) einsum output in a transposed layout and pays a full
+    copy before the reshape — trace round 4); the factored form feeds
+    edge_matvec at ~zero cost per PCG iteration. Returns a dict with the
+    blocks, the dst one-hot, and the summed per-node diagonal blocks
+    (the edge share of the block-Jacobi preconditioner)."""
+    hi = jax.lax.Precision.HIGHEST
+    e = s.e_src.shape[0]
+    c = e // n_nodes
+    h_ii = jnp.einsum("era,erb->eab", je_i, je_i, precision=hi)
+    h_jj = jnp.einsum("era,erb->eab", je_j, je_j, precision=hi)
+    h_ij = jnp.einsum("era,erb->eab", je_i, je_j, precision=hi)
+    oh_d = jax.nn.one_hot(s.e_dst, n_nodes, dtype=jnp.float32)
+    diag = h_ii.reshape(n_nodes, c, 6, 6).sum(axis=1) + jnp.einsum(
+        "en,eab->nab", oh_d, h_jj, precision=hi
+    )
+    return dict(h_ii=h_ii, h_jj=h_jj, h_ij=h_ij, oh_d=oh_d, diag_blocks=diag)
+
+
+def edge_matvec(
+    s: SolveStructure,
+    eb: dict,
+    p: jnp.ndarray,
+    n_nodes: int,
+) -> jnp.ndarray:
+    """(6N,) matvec of the factored ARAP system: row-gather p at each
+    edge's endpoints, batched 6x6 block products, src side placed by the
+    static repeat structure (reshape-sum, no scatter), dst side by one
+    small one-hot matmul."""
+    hi = jax.lax.Precision.HIGHEST
+    pm = p.reshape(n_nodes, 6)
+    p_i = jnp.take(pm, s.e_src, axis=0)
+    p_j = jnp.take(pm, s.e_dst, axis=0)
+    q_i = (
+        jnp.einsum("eab,eb->ea", eb["h_ii"], p_i, precision=hi)
+        + jnp.einsum("eab,eb->ea", eb["h_ij"], p_j, precision=hi)
+    )
+    q_j = (
+        jnp.einsum("eba,eb->ea", eb["h_ij"], p_i, precision=hi)
+        + jnp.einsum("eab,eb->ea", eb["h_jj"], p_j, precision=hi)
+    )
+    out = q_i.reshape(n_nodes, -1, 6).sum(axis=1) + jnp.einsum(
+        "en,ea->na", eb["oh_d"], q_j, precision=hi
+    )
+    return out.reshape(-1)
+
+
 def gn_eval(
     cfg: DynamicFusionConfig,
     s: SolveStructure,
@@ -794,25 +851,46 @@ def solve(
         )
         assert system_fn is None and eval_fn is None
 
-        def system_fn(s_, dqs_):
-            jtj_d, jtr_d, cost_d = data_system(
-                cfg, s_, dqs_, n_nodes, point_to_plane,
-                col_scale_reduce=lambda m: jax.lax.pmax(m, axis_name),
-            )
-            jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
-            jtj_e, jtr_e, cost_e = edge_system(cfg, s_, dqs_, n_nodes)
-            # the edge system is replicated node-space work: fold 1/n of it
-            # into each LOCAL Gram so the implicit sum over shards (the PCG
-            # matvec's psum) recovers it exactly once
-            return jtj_d + jtj_e / axis_size, jtr_d + jtr_e, cost_d + cost_e
+    # FACTORED-PCG path (single-chip AND distributed): the data Gram is a
+    # dense (6N,6N) matrix (one int8 syrk) but the ARAP edge system stays
+    # as per-edge 6x6 blocks — never placed into a dense matrix (a
+    # measured 12.4 ms/frame layout-copy on v5e, see edge_blocks) and
+    # never Cholesky-factored (11.4 ms/frame): the linear solve is
+    # block-Jacobi PCG over matvecs of (data Gram + edge blocks + damping).
+    factored = (
+        cfg.solver_linear == "pcg" and cfg.solver_lagged_jtj and system_fn is None
+    )
+    if factored:
+        col_red = (
+            (lambda m: jax.lax.pmax(m, axis_name)) if axis_name is not None else None
+        )
 
-        def eval_fn(s_, dqs_):
+        def system_fn(s_, dqs_):
             r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
+            jtj_d = data_jtj(cfg, s_, jac, n_nodes, col_red)
             jtr_d = data_jtr(s_, jac, r, n_nodes)
-            jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
+            if axis_name is not None:
+                jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
             re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s_, dqs_)
+            eb = edge_blocks(s_, je_i, je_j, n_nodes)
             jtr_e = edge_jtr(s_, je_i, je_j, re, n_nodes)
-            return jtr_d + jtr_e, cost_d + cost_e
+            # under axis_name the data Gram stays the UNSUMMED local shard
+            # (the PCG matvec psums its product); the edge system is
+            # replicated node-space work applied once AFTER the psum
+            return (jtj_d, eb), jtr_d + jtr_e, cost_d + cost_e
+
+        if axis_name is not None:
+
+            def eval_fn(s_, dqs_):
+                r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
+                jtr_d = data_jtr(s_, jac, r, n_nodes)
+                jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
+                re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s_, dqs_)
+                jtr_e = edge_jtr(s_, je_i, je_j, re, n_nodes)
+                return jtr_d + jtr_e, cost_d + cost_e
+
+        elif eval_fn is None:
+            eval_fn = lambda s_, dqs_: gn_eval(cfg, s_, dqs_, n_nodes, point_to_plane)
 
     s = prepare(
         cfg, field, inputs, point_to_plane,
@@ -868,14 +946,24 @@ def solve(
         jtr = jnp.zeros((dof,))
         cost_init = jnp.zeros(())
 
-    use_matvec = axis_name is not None
+    use_matvec = factored
     if use_matvec:
-        # the ONLY full-matrix reductions of the distributed solve, once
-        # per relinearization: the (6N,) diagonal (damping) and the
-        # (N,6,6) diagonal blocks (block-Jacobi preconditioner). The Gram
-        # itself stays per-shard; every PCG matvec psums its (6N,) product.
-        diag_full = jax.lax.psum(jnp.diagonal(jtj), axis_name)
-        blocks_full = jax.lax.psum(_diag_blocks(jtj, n_nodes), axis_name)
+        # once per relinearization: the full diagonal (damping) and the
+        # (N,6,6) diagonal blocks (block-Jacobi preconditioner). Under
+        # axis_name these are the distributed solve's ONLY matrix-shaped
+        # reductions — the Gram itself stays per-shard; every PCG matvec
+        # psums its (6N,) product.
+        jtj_data, eb0 = jtj
+        diag_data = jnp.diagonal(jtj_data)
+        data_blocks = _diag_blocks(jtj_data, n_nodes)
+        if axis_name is not None:
+            diag_data, data_blocks = jax.lax.psum(
+                (diag_data, data_blocks), axis_name
+            )
+        blocks_full = data_blocks + eb0["diag_blocks"]
+        diag_full = diag_data + jnp.diagonal(
+            eb0["diag_blocks"], axis1=-2, axis2=-1
+        ).reshape(-1)
 
     reuse_chol = _should_reuse_chol(cfg, use_lagged) and not use_matvec
 
@@ -912,10 +1000,9 @@ def solve(
         cost_prev = cost_lin
         cost0 = jnp.where(it == 0, cost_lin, cost0)
         if use_matvec:
-            # distributed PCG on the per-shard Grams: damping is applied
-            # AFTER the matvec's psum (the psum of local Grams is the full
-            # undamped JtJ), so the solved system is exactly the dense
-            # path's damped one
+            # factored PCG: damping (and the edge blocks) apply AFTER the
+            # data-Gram matvec (psum'd under axis_name), so the solved
+            # system is exactly the dense path's damped one
             diag = diag_full
             mean_diag = jnp.sum(jnp.where(active_dof, diag, 0.0)) / jnp.maximum(
                 jnp.sum(active_dof.astype(jnp.float32)), 1.0
@@ -927,7 +1014,14 @@ def solve(
             minv = jnp.linalg.inv(
                 blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
             )
-            mv = lambda p: jax.lax.psum(jtj @ p, axis_name) + damp * p
+            jtj_d, eb = jtj
+
+            def mv(p):
+                ap = jtj_d @ p
+                if axis_name is not None:
+                    ap = jax.lax.psum(ap, axis_name)
+                return ap + edge_matvec(s, eb, p, n_nodes) + damp * p
+
             step = -_pcg(
                 mv, minv, jtr, n_nodes, cfg.solver_linear_iters,
                 cfg.solver_linear_tol,
