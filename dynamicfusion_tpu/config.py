@@ -437,7 +437,18 @@ class DynamicFusionConfig:
           ring's grazing-incidence crossing error is now REPORTED instead
           of hidden; at matched coverage round 3's figure was worse
           (weight>0 extraction: p95 3.21 noise-on vs 2.58 here, sweep
-          record in CLAUDE.md)."""
+          record in CLAUDE.md).
+        - solver_linear="pcg" x 12 iterations (round 4): the FACTORED
+          matrix-free LM linear solve — bf16 row-matrix matvecs + per-edge
+          blocks + block-Jacobi PCG — replaces the dense-Gram pipeline
+          whose syrk + edge placement (12.4 ms layout copy) + Cholesky
+          (11.4 ms) dominated the solver. 60.2 -> 32.9 ms/frame measured;
+          solver cost and the whole quality battery are unchanged (med
+          0.80-0.89 / p95 2.0-2.7 / cov 0.94-0.96 across seeds; 50-frame
+          med 1.04 / p95 3.08 / cov 0.98). Single-chip and multi-chip now
+          run the SAME solver structure (the distributed solve psums the
+          row-matvec products).
+        """
         return cls(
             raycast_refine="newton8",
             fusion_interval=4,
@@ -445,6 +456,8 @@ class DynamicFusionConfig:
             raycast_temporal_band=True,
             fusion_incidence_floor=0.35,
             extract_min_weight=0.3,
+            solver_linear="pcg",
+            solver_linear_iters=12,
         )
 
     @classmethod

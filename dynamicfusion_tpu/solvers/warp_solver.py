@@ -111,12 +111,18 @@ def huber_sqrt_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
-def build_edges(field: WarpField, k_edge: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def build_edges(
+    field: WarpField, k_edge: int = 4, method: str = "exact"
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k-NN node graph for the ARAP term. Returns (src (E,), dst (E,),
     valid (E,)) with E = N * k_edge. Self-edges and inactive endpoints are
-    masked out."""
+    masked out. ``method``: see warpfield.knn — the exact top_k here
+    measured 4.8 ms/frame at 1024 nodes on v5e (trace round 4) vs ~0.6 ms
+    approx; a ~0.95-recall edge graph only perturbs which of the
+    nearest-5 nodes regularize each other (quality-gated on the bench
+    battery), so prepare() passes cfg.knn_method."""
     n = field.positions.shape[0]
-    d2, idx = warpfield.knn(field, field.positions, k_edge + 1)
+    d2, idx = warpfield.knn(field, field.positions, k_edge + 1, method=method)
     # drop the self column (distance 0); keep next k_edge
     idx = idx[:, 1 : k_edge + 1]
     src = jnp.repeat(jnp.arange(n), k_edge)
@@ -195,7 +201,7 @@ def prepare(
     # points with no nearby node contribute nothing
     valid = valid & (jnp.sum(w_knn, axis=-1) > 1e-8)
 
-    e_src, e_dst, e_valid = build_edges(field)
+    e_src, e_dst, e_valid = build_edges(field, method=cfg.knn_method)
     v_dst = jnp.take(field.positions, e_dst, axis=0)
     # alpha_ij = max(dg_w_i, dg_w_j)-based edge weight (paper eq. 7 uses
     # max of the blending weights; radius-scale is the natural proxy here).
@@ -861,23 +867,36 @@ def solve(
         cfg.solver_linear == "pcg" and cfg.solver_lagged_jtj and system_fn is None
     )
     if factored:
-        col_red = (
-            (lambda m: jax.lax.pmax(m, axis_name)) if axis_name is not None else None
-        )
 
         def system_fn(s_, dqs_):
             r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
-            jtj_d = data_jtj(cfg, s_, jac, n_nodes, col_red)
+            # MATRIX-FREE data term: keep the (P, 6N) bf16 one-hot-expanded
+            # row matrix (39 MB at bench shape) instead of its dense
+            # (6N,6N) Gram (151 MB + an int8 syrk) — each PCG matvec is
+            # two skinny bf16 matmuls (~0.1 ms) instead of a 151 MB dense
+            # read, and the relinearization skips the syrk entirely. The
+            # Hessian is only the step metric (accept/reject is on the
+            # exact cost), so bf16 rows are as valid here as they were
+            # inside the syrk. Exact-jac per-node diagonal blocks ride
+            # along for the block-Jacobi preconditioner + damping diagonal.
+            hi = jax.lax.Precision.HIGHEST
+            oh16 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.bfloat16)
+            rows = jnp.einsum(
+                "pkn,prkd->prnd", oh16, jac.astype(jnp.bfloat16)
+            ).reshape(-1, 6 * n_nodes)
+            h_p = jnp.einsum("prkd,prke->pkde", jac, jac, precision=hi)
+            oh32 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.float32)
+            blocks_d = jnp.einsum("pkn,pkde->nde", oh32, h_p, precision=hi)
             jtr_d = data_jtr(s_, jac, r, n_nodes)
             if axis_name is not None:
                 jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
             re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s_, dqs_)
             eb = edge_blocks(s_, je_i, je_j, n_nodes)
             jtr_e = edge_jtr(s_, je_i, je_j, re, n_nodes)
-            # under axis_name the data Gram stays the UNSUMMED local shard
+            # under axis_name the row matrix stays the UNSUMMED local shard
             # (the PCG matvec psums its product); the edge system is
             # replicated node-space work applied once AFTER the psum
-            return (jtj_d, eb), jtr_d + jtr_e, cost_d + cost_e
+            return (rows, blocks_d, eb), jtr_d + jtr_e, cost_d + cost_e
 
         if axis_name is not None:
 
@@ -951,19 +970,13 @@ def solve(
         # once per relinearization: the full diagonal (damping) and the
         # (N,6,6) diagonal blocks (block-Jacobi preconditioner). Under
         # axis_name these are the distributed solve's ONLY matrix-shaped
-        # reductions — the Gram itself stays per-shard; every PCG matvec
+        # reductions — the row matrix stays per-shard; every PCG matvec
         # psums its (6N,) product.
-        jtj_data, eb0 = jtj
-        diag_data = jnp.diagonal(jtj_data)
-        data_blocks = _diag_blocks(jtj_data, n_nodes)
+        _, data_blocks, eb0 = jtj
         if axis_name is not None:
-            diag_data, data_blocks = jax.lax.psum(
-                (diag_data, data_blocks), axis_name
-            )
+            data_blocks = jax.lax.psum(data_blocks, axis_name)
         blocks_full = data_blocks + eb0["diag_blocks"]
-        diag_full = diag_data + jnp.diagonal(
-            eb0["diag_blocks"], axis1=-2, axis2=-1
-        ).reshape(-1)
+        diag_full = jnp.diagonal(blocks_full, axis1=-2, axis2=-1).reshape(-1)
 
     reuse_chol = _should_reuse_chol(cfg, use_lagged) and not use_matvec
 
@@ -1014,10 +1027,13 @@ def solve(
             minv = jnp.linalg.inv(
                 blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
             )
-            jtj_d, eb = jtj
+            rows, _, eb = jtj
 
             def mv(p):
-                ap = jtj_d @ p
+                t = jnp.dot(rows, p.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                ap = jnp.dot(t.astype(jnp.bfloat16), rows,
+                             preferred_element_type=jnp.float32)
                 if axis_name is not None:
                     ap = jax.lax.psum(ap, axis_name)
                 return ap + edge_matvec(s, eb, p, n_nodes) + damp * p

@@ -79,7 +79,9 @@ def _step_census(cfg):
 
 
 def test_step_collective_budget():
-    cfg = _contract_cfg()
+    # the SUMMED-Schur mode (one (6N,6N) all-reduce per relinearization):
+    # pinned explicitly — the flagship preset defaults to pcg since round 4
+    cfg = _contract_cfg(solver_linear="direct")
     ops = _step_census(cfg)
 
     dof = 6 * cfg.max_nodes
