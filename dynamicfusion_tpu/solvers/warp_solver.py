@@ -1024,9 +1024,6 @@ def solve(
             damp = lm_lambda * diag_eff + jnp.where(
                 active_dof & (diag > 1e-12), 1e-8, 1.0
             )
-            minv = jnp.linalg.inv(
-                blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
-            )
             rows, _, eb = jtj
 
             def mv(p):
@@ -1038,8 +1035,24 @@ def solve(
                     ap = jax.lax.psum(ap, axis_name)
                 return ap + edge_matvec(s, eb, p, n_nodes) + damp * p
 
+            # the block-Jacobi preconditioner is rebuilt only at iteration
+            # 0 and after a REJECTED step raised lm_lambda 8x (the same
+            # policy as the direct path's Cholesky reuse): the batched
+            # (N,6,6) LU inverse costs ~1.5 ms/rebuild, accepts only halve
+            # an already-small lambda, and the preconditioner never
+            # changes the solved (exactly-damped) system — only PCG's
+            # convergence rate. Preconditioning with the fully-stale
+            # once-per-solve variant measured a worse p95 tail (seed-1
+            # battery 2.5 -> 4.2 mm), so rejections DO rebuild.
+            chol = jax.lax.cond(
+                (it == 0) | ~need_relin,
+                lambda: jnp.linalg.inv(
+                    blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
+                ),
+                lambda: chol,
+            )
             step = -_pcg(
-                mv, minv, jtr, n_nodes, cfg.solver_linear_iters,
+                mv, chol, jtr, n_nodes, cfg.solver_linear_iters,
                 cfg.solver_linear_tol,
             )
         elif reuse_chol:
@@ -1104,7 +1117,16 @@ def solve(
         return (st[0] < cfg.solver_nonlinear_iters) & ~st[-1]
 
     zero = jnp.zeros(())
-    chol0 = jnp.zeros((dof, dof)) if reuse_chol else jnp.zeros(())
+    # the `chol` loop slot carries whichever reusable linear-solve factor
+    # the mode needs: the (6N,6N) Cholesky factor (direct+reuse), the
+    # (N,6,6) block-Jacobi preconditioner (factored PCG), or a scalar
+    # placeholder
+    if reuse_chol:
+        chol0 = jnp.zeros((dof, dof))
+    elif use_matvec:
+        chol0 = jnp.zeros((n_nodes, 6, 6))
+    else:
+        chol0 = jnp.zeros(())
     st = (
         jnp.zeros((), jnp.int32), dqs, lm_lambda, zero, zero, accepted,
         jtj, jtr, chol0, jnp.array(True), jnp.array(False),
