@@ -348,6 +348,18 @@ class DynamicFusionConfig:
     # surface (the surface-coverage metric of bench.py guards this
     # trade; round 4).
     fusion_incidence_floor: float = 0.0
+    # Projective-SDF correction: psdf = dists(u) - |p| measures distance
+    # ALONG THE RAY; the true signed distance is ~psdf * |cos incidence|.
+    # Storing the uncorrected value stretches the field along grazing
+    # rays, which skews the trilinear crossing between voxels — the
+    # residual error source of the silhouette ring once it is extracted
+    # at all. With this flag the STORED observation is scaled by the
+    # per-pixel |cos| (clamped to >= 0.25 so near-tangent pixels don't
+    # collapse the band); the update gate keeps the UNCOLLECTED psdf
+    # band, so exactly the same voxel set updates as before (and brick
+    # classification stays consistent). Needs fusion_incidence_weight
+    # (the |cos| image rides the same packed lookup).
+    fusion_sdf_incidence_scale: bool = False
 
     # Fuse depth into the volume only every Nth frame (1 = every frame).
     # Tracking and the warp solve still run per frame against the existing
@@ -424,7 +436,9 @@ class DynamicFusionConfig:
         Round-4 additions (measured on the v5e bench):
         - raycast_temporal_band: -6.3 ms/frame (117.1 -> 110.8), quality
           battery unchanged.
-        - fusion_incidence_floor=0.35 + extract_min_weight=0.3: the
+        - fusion_incidence_floor=0.35 + extract_min_weight=0.25 (0.3
+          measured cov 0.9448 on seed 0 — just under the gate; 0.25 is
+          >= 0.953 on every seed at p95 2.7-3.8): the
           COVERAGE operating point. Round 3's extract_min_weight=2.0
           scored its error only on confidently-observed voxels — surface
           coverage (bench.py metric, sensor-observable support) was 55%
@@ -438,6 +452,12 @@ class DynamicFusionConfig:
           of hidden; at matched coverage round 3's figure was worse
           (weight>0 extraction: p95 3.21 noise-on vs 2.58 here, sweep
           record in CLAUDE.md).
+        - fusion_sdf_incidence_scale (round 4): store psdf * |cos|
+          (true-distance estimate) instead of the along-ray psdf.
+          Measured: noiseless 25-frame tail med 1.25 -> 0.98 / p95 10.1
+          -> 9.3 mm, noise-on battery equal-or-better (s0 0.84/2.51,
+          s1 0.84/2.75), hold-out hinge better on all three numbers
+          (1.45/3.70/0.755 vs 1.63/3.93/0.73, not tuned against).
         - solver_linear="pcg" x 12 iterations (round 4): the FACTORED
           matrix-free LM linear solve — bf16 row-matrix matvecs + per-edge
           blocks + block-Jacobi PCG — replaces the dense-Gram pipeline
@@ -455,7 +475,8 @@ class DynamicFusionConfig:
             fusion_incidence_weight=True,
             raycast_temporal_band=True,
             fusion_incidence_floor=0.35,
-            extract_min_weight=0.3,
+            extract_min_weight=0.25,
+            fusion_sdf_incidence_scale=True,
             solver_linear="pcg",
             solver_linear_iters=12,
         )

@@ -357,6 +357,25 @@ def unpack_depth_conf(v: jnp.ndarray):
     return dq / PACK_DP, c
 
 
+def incidence_weight_scale(cfg: DynamicFusionConfig, conf):
+    """(observation weight, stored-SDF scale) from the RAW per-pixel
+    |cos incidence| (0 = invalid). Weight: max(cos, floor) for observed
+    pixels (cfg.fusion_incidence_floor keeps grazing-only surface
+    accumulating extraction evidence). Scale: the projective-SDF
+    correction (cfg.fusion_sdf_incidence_scale docstring) — psdf is an
+    along-ray distance; scaling the STORED observation by |cos| (clamped
+    at 0.25) stores a true-distance estimate without changing which
+    voxels update."""
+    if conf is None:
+        return 1.0, 1.0
+    w = jnp.where(conf > 0.0, jnp.maximum(conf, cfg.fusion_incidence_floor), 0.0)
+    if cfg.fusion_sdf_incidence_scale:
+        scale = jnp.where(conf > 0.0, jnp.clip(conf, 0.25, 1.0), 1.0)
+    else:
+        scale = 1.0
+    return w, scale
+
+
 def _fuse_rows(
     cfg: DynamicFusionConfig,
     tsdf_rows: jnp.ndarray,   # (K, BV)
@@ -365,7 +384,7 @@ def _fuse_rows(
     rdist: jnp.ndarray,       # (K, BV) voxel ray distance |p|
     inb: jnp.ndarray,         # (K, BV) in-image & z>0
     q: jnp.ndarray | None = None,  # (K, BV) observation weight (blend quality)
-    obs_w: jnp.ndarray | float = 1.0,  # extra observation weight (incidence)
+    conf: jnp.ndarray | None = None,  # (K, BV) raw |cos incidence| (0 invalid)
 ):
     trunc = volume_model.trunc_dist(cfg)
     psdf = dp - rdist
@@ -376,8 +395,9 @@ def _fuse_rows(
         # voxels essentially unsupported by the warp field carry a garbage
         # DQB blend — do not fuse through it (paper weight, fusion.py doc)
         update = update & (q > cfg.fusion_quality_min)
+    obs_w, sdf_scale = incidence_weight_scale(cfg, conf)
     q = q * obs_w
-    tsdf_obs = jnp.minimum(1.0, psdf / trunc)
+    tsdf_obs = jnp.minimum(1.0, psdf * sdf_scale / trunc)
     t32 = tsdf_rows.astype(jnp.float32)
     fused = (t32 * w_rows + tsdf_obs * q) / jnp.maximum(w_rows + q, 1e-12)
     new_t = jnp.where(update & (w_rows + q > 1e-12), fused, t32).astype(tsdf_rows.dtype)

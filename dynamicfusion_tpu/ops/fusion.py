@@ -278,9 +278,10 @@ def integrate_nonrigid(
     dp = jnp.take(lookup.reshape(-1), flat)
     dp = jax.lax.optimization_barrier(dp)
     if conf is None:
-        obs_w = 1.0
+        cv = None
     else:
-        dp, obs_w = bricks_mod.unpack_depth_conf(dp)
+        dp, cv = bricks_mod.unpack_depth_conf(dp)
+    obs_w, sdf_scale = bricks_mod.incidence_weight_scale(cfg, cv)
 
     psdf = dp - jnp.sqrt(x * x + y * y + z * z)
     update = inb & (dp != 0.0) & (psdf >= -trunc)
@@ -297,7 +298,7 @@ def integrate_nonrigid(
         q = 1.0
 
     q = q * obs_w
-    tsdf_obs = jnp.minimum(1.0, psdf / trunc)
+    tsdf_obs = jnp.minimum(1.0, psdf * sdf_scale / trunc)
     w = vol.weight
     tsdf_f32 = vol.tsdf.astype(jnp.float32)
     fused = (tsdf_f32 * w + tsdf_obs * q) / jnp.maximum(w + q, 1e-12)

@@ -452,14 +452,16 @@ def step(
     # executes only the taken branch
     fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
     if cfg.fusion_incidence_weight:
-        # per-pixel |cos| of the live normal against the viewing ray, at
-        # the full-res pixels fusion looks up (config flag docstring);
-        # valid pixels keep at least fusion_incidence_floor so
-        # grazing-only surface still accumulates extraction evidence
+        # per-pixel RAW |cos| of the live normal against the viewing ray,
+        # at the full-res pixels fusion looks up (config flag docstring);
+        # invalid pixels carry 0. The weight floor
+        # (fusion_incidence_floor) and the optional projective-SDF scale
+        # (fusion_sdf_incidence_scale) are applied at the fuse site
+        # (bricks._fuse_rows / fusion.integrate_nonrigid), which needs
+        # the unfloored cosine.
         p0, n0 = pts_pyr[0], nrm_pyr[0]
         pn = p0 / jnp.maximum(jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-9)
-        cosv = jnp.abs(jnp.sum(n0 * pn, axis=-1))
-        conf = jnp.nan_to_num(jnp.maximum(cosv, cfg.fusion_incidence_floor))
+        conf = jnp.nan_to_num(jnp.abs(jnp.sum(n0 * pn, axis=-1)))
     else:
         conf = None
     if integrate_fn is not None:

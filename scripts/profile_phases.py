@@ -9,6 +9,15 @@ end — `block_until_ready` on repeated identical calls can lie through the
 axon tunnel (see CLAUDE.md).
 
 Usage: python scripts/profile_phases.py [--iters N] [--small]
+
+CAVEATS (learned round 4 — prefer scripts/trace_step.py for attribution):
+- each isolated phase pays a ~5 ms dispatch floor through the axon
+  tunnel, swamping small phases;
+- a probe that consumes only SOME outputs lets XLA dead-code the rest:
+  the preprocess probe here consumed dists + the finest points level and
+  never executed the deeper pyramid (whose strided-slice gathers were
+  ~20 ms/frame in the real step). When you micro-profile, consume every
+  output you claim to measure.
 """
 
 import argparse

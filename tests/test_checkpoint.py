@@ -42,9 +42,11 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.pose), np.asarray(df.state.pose))
     assert int(restored.frame_idx) == 2
 
-    # resume: a third frame from the restored state runs fine
+    # resume: a third frame from the restored state runs fine (restore()
+    # adopts the state AND the started flag — __call__ no longer reads
+    # the device frame_idx per frame, see DynamicFusion.__call__)
     df2 = kinfu.DynamicFusion(CFG)
-    df2.state = restored
+    df2.restore(restored)
     assert df2(d)
 
 

@@ -43,6 +43,17 @@ def mesh():
     return sharded.make_mesh(8)
 
 
+@pytest.fixture(scope="module")
+def sharded_fns(mesh):
+    """ONE compile of the sharded first/step pair for the whole module —
+    each make_sharded_* call creates a fresh jit (fresh SPMD compile),
+    which doubled this module's wall time."""
+    return (
+        sharded.make_sharded_first_frame(CFG, mesh),
+        sharded.make_sharded_step(CFG, mesh),
+    )
+
+
 def test_sharded_state_placement(mesh):
     state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
     # volume is split along x across 8 devices
@@ -52,7 +63,7 @@ def test_sharded_state_placement(mesh):
     assert len({s.device for s in state.warp.positions.addressable_shards}) == 8
 
 
-def test_sharded_step_matches_single_device(mesh):
+def test_sharded_step_matches_single_device(mesh, sharded_fns):
     depth = _depth()
 
     # single-device reference run
@@ -64,8 +75,7 @@ def test_sharded_step_matches_single_device(mesh):
 
     # sharded run
     state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
-    first = sharded.make_sharded_first_frame(CFG, mesh)
-    step = sharded.make_sharded_step(CFG, mesh)
+    first, step = sharded_fns
     state = first(state, depth)
     state, out = step(state, depth)
 
@@ -84,10 +94,9 @@ def test_sharded_step_matches_single_device(mesh):
     assert float(np.median(diff)) < 1e-5
 
 
-def test_sharded_multi_frame_stability(mesh):
+def test_sharded_multi_frame_stability(mesh, sharded_fns):
     state = sharded.shard_state(CFG, mesh, kinfu.init_state(CFG))
-    first = sharded.make_sharded_first_frame(CFG, mesh)
-    step = sharded.make_sharded_step(CFG, mesh)
+    first, step = sharded_fns
     state = first(state, _depth())
     for _ in range(3):
         state, out = step(state, _depth())
