@@ -56,6 +56,11 @@ def main():
         node_sample_step=5,
         solver_nonlinear_iters=1,
         icp_iters=(2, 1, 1, 0),
+        # the PRODUCTION multi-chip solver path (round 4): the whole LM
+        # loop in one shard_map, per-shard row matrices, psum'd PCG
+        # matvecs — its psums cross the process boundary through gloo
+        # here, the structural DCN stand-in
+        solver_linear="pcg",
     )
     mesh = multihost.make_global_mesh()
 
