@@ -277,6 +277,23 @@ class DynamicFusionConfig:
     # misfit that accumulates into tracking failure).
     solver_damping_floor: float = 0.05
     point_to_plane: bool = True         # paper data term; False = point-to-point
+    # Blend a sqrt(w)-weighted point-to-POINT component into the
+    # point-to-plane data term (residual becomes (4,): [n.(Wv - l),
+    # sqrt(w) (Wv - l)]). Point-to-plane alone cannot observe motion
+    # TANGENTIAL to a smooth surface (the aperture problem) — the
+    # hold-out hinge scene's scissor rotation exposed exactly this
+    # (CLAUDE.md round-4 diagnosis: frontal coverage holes on the moving
+    # sphere). The Tukey weight runs on the JOINT residual norm, so
+    # gross projective-association errors still reject. 0 = off
+    # (paper-pure).
+    # MEASURED at 0.25 (v5e bench shape, 20 noise-on frames): hold-out
+    # hinge med 1.45 -> 0.78 mm, p95 3.70 -> 2.37, coverage 0.75 -> 0.81;
+    # sphere battery equal error with coverage 0.95 -> 0.97; noiseless
+    # tail p95 9.3 -> 6.9. Cost: the 4-dim residual quadruples the PCG
+    # row matrix -> 28.1 -> 43.1 ms/frame (23 fps). The flagship preset
+    # keeps 0 (the >= 30 fps headline); set 0.25 for tangentially-rich
+    # motion where the extra 15 ms buys real tracking.
+    solver_p2p_weight: float = 0.0
     # Assemble the data-term JtJ from int8-quantized Jacobian rows with
     # per-COLUMN scales (A = Q diag(c) factors EXACTLY through the syrk:
     # A^T A = diag(c) Q^T Q diag(c), so the only error is the <=0.4%

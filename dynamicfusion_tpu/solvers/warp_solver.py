@@ -85,6 +85,15 @@ def _data_residual_p2pl(eps_k, dq_k, w_k, p_can, p_live, n_live):
     return jnp.sum(n_live * (_warp_one(eps_k, dq_k, w_k, p_can) - p_live), keepdims=True)
 
 
+def _data_residual_blend(eps_k, dq_k, w_k, p_can, p_live, n_live, sqrt_wpp):
+    """Point-to-plane PLUS sqrt(w)-weighted point-to-point, (4,): the
+    plane term carries the accurate normal-direction constraint, the
+    point term restores TANGENTIAL observability (cfg.solver_p2p_weight
+    docstring — the hold-out hinge's aperture-problem finding)."""
+    d = _warp_one(eps_k, dq_k, w_k, p_can) - p_live
+    return jnp.concatenate([jnp.sum(n_live * d, keepdims=True), sqrt_wpp * d])
+
+
 def _edge_residual(eps_i, dq_i, eps_j, dq_j, v_j):
     """ARAP edge residual (paper eq. 6): T_i(v_j) - T_j(v_j)."""
     di = dualquat.mul(dualquat.from_twist(eps_i[:3], eps_i[3:]), dq_i)
@@ -240,14 +249,7 @@ def data_residual_and_jac(
     the distributed GN in parallel/distributed_gn.py). Returns
     (r (P, rd), jac (P, rd, K, 6), cost ())."""
     k = cfg.knn_k
-    dq_k = jnp.take(dqs, s.knn_idx, axis=0)  # (P, K, 8)
-
-    if point_to_plane:
-        fn = lambda e, d, w, pc, pl, nl: _data_residual_p2pl(e, d, w, pc, pl, nl)
-        args = (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
-    else:
-        fn = lambda e, d, w, pc, pl: _data_residual_p2p(e, d, w, pc, pl)
-        args = (dq_k, s.w_knn, s.p_can, s.p_live)
+    fn, args = _data_fn_args(cfg, s, dqs, point_to_plane)
 
     # TOOLCHAIN NOTE: the zero linearization point must be derived from a
     # sharded operand. A literal jnp.zeros((P, k, 6)) created inside a
@@ -311,6 +313,65 @@ def edge_residual_and_jac(
     return re, je_i, je_j, cost
 
 
+def _data_fn_args(cfg: DynamicFusionConfig, s: SolveStructure, dqs, point_to_plane):
+    """(residual fn, args) for the configured data term (shared by the
+    explicit-Jacobian and vjp paths)."""
+    dq_k = jnp.take(dqs, s.knn_idx, axis=0)
+    if point_to_plane and cfg.solver_p2p_weight > 0.0:
+        sq = math.sqrt(cfg.solver_p2p_weight)
+        fn = lambda e, d, w, pc, pl, nl: _data_residual_blend(e, d, w, pc, pl, nl, sq)
+        return fn, (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
+    if point_to_plane:
+        return _data_residual_p2pl, (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
+    return _data_residual_p2p, (dq_k, s.w_knn, s.p_can, s.p_live)
+
+
+def _scatter_jtr(s: SolveStructure, jr: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """(P, K, 6) per-point gradient contributions -> (6N,) via bf16-split
+    one-hot matmuls (exact to ~2^-16 relative; see data_jtr)."""
+    oh = jax.nn.one_hot(s.knn_idx, n_nodes, dtype=jnp.bfloat16)  # (P,K,N)
+    hi = jr.astype(jnp.bfloat16)
+    lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.einsum("pkn,pkd->nd", oh, hi, preferred_element_type=jnp.float32)
+        + jnp.einsum("pkn,pkd->nd", oh, lo, preferred_element_type=jnp.float32)
+    ).reshape(-1)
+
+
+def data_grad_cost(
+    cfg: DynamicFusionConfig,
+    s: SolveStructure,
+    dqs: jnp.ndarray,
+    n_nodes: int,
+    point_to_plane: bool,
+):
+    """Data-term gradient J^T r (Tukey-weighted) + true robust cost via ONE
+    vjp pass — independent of the residual dimension. The explicit-Jacobian
+    route (data_residual_and_jac) runs res_dim backward passes, which the
+    blended 4-dim data term (solver_p2p_weight) turns into 4x eval cost;
+    J^T r only needs the vjp applied to the cotangent sw^2 * r (both the
+    residual and the Jacobian carry one sqrt-weight each). Used by the
+    lagged-JtJ LM loop's per-candidate evaluation."""
+    k = cfg.knn_k
+    fn, args = _data_fn_args(cfg, s, dqs, point_to_plane)
+    zero_p = s.p_can[:, :1, None] * 0.0
+    eps_k0 = jnp.broadcast_to(zero_p, (s.p_can.shape[0], k, 6)) + 0.0
+
+    batched = lambda e: jax.vmap(fn)(e, *args)
+    r, vjp_fn = jax.vjp(batched, eps_k0)
+
+    rn = jnp.linalg.norm(r, axis=-1)
+    sw = tukey_sqrt_weight(rn, cfg.solver_tukey_c) * s.valid
+    c = cfg.solver_tukey_c
+    x2 = (rn / c) ** 2
+    rho = jnp.where(
+        x2 <= 1.0, (c * c / 6.0) * (1.0 - (1.0 - x2) ** 3), c * c / 6.0
+    )
+    cost = jnp.sum(rho * s.valid)
+    (jr,) = vjp_fn((sw * sw)[:, None] * r)  # (P, K, 6)
+    return _scatter_jtr(s, jr, n_nodes), cost
+
+
 def residual_and_jac(
     cfg: DynamicFusionConfig,
     s: SolveStructure,
@@ -333,7 +394,12 @@ def cost_at(
     over the (already prepare-subsampled) solve point set."""
     dq_k_s = jnp.take(dqs, s.knn_idx, axis=0)
     eps_k = jnp.zeros((s.knn_idx.shape[0], cfg.knn_k, 6), jnp.float32)
-    if point_to_plane:
+    if point_to_plane and cfg.solver_p2p_weight > 0.0:
+        sq = math.sqrt(cfg.solver_p2p_weight)
+        r = jax.vmap(
+            lambda e, d, w, pc, pl, nl: _data_residual_blend(e, d, w, pc, pl, nl, sq)
+        )(eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live, s.n_live)
+    elif point_to_plane:
         r = jax.vmap(_data_residual_p2pl)(
             eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live, s.n_live
         )
@@ -638,12 +704,11 @@ def gn_eval(
     point_to_plane: bool,
 ):
     """Gradient + true robust cost at ``dqs`` WITHOUT the Hessian — the
-    lagged-JtJ LM loop's per-candidate evaluation (see solve). Costs one
-    residual+jacobian pass + the (cheap) J^T r assemblies; skips the
-    one-hot row expansion + syrk and the edge-block placement, which
-    dominate the full relinearization. Returns (jtr, cost)."""
-    r, jac, cost_d = data_residual_and_jac(cfg, s, dqs, point_to_plane)
-    jtr = data_jtr(s, jac, r, n_nodes)
+    lagged-JtJ LM loop's per-candidate evaluation (see solve). ONE vjp
+    pass for the data gradient (data_grad_cost — independent of the
+    residual dimension, which matters for the 4-dim blended data term) +
+    the small edge system. Returns (jtr, cost)."""
+    jtr, cost_d = data_grad_cost(cfg, s, dqs, n_nodes, point_to_plane)
     re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s, dqs)
     jtr_e = edge_jtr(s, je_i, je_j, re, n_nodes)
     return jtr + jtr_e, cost_d + cost_e
@@ -881,8 +946,15 @@ def solve(
             # along for the block-Jacobi preconditioner + damping diagonal.
             hi = jax.lax.Precision.HIGHEST
             oh16 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.bfloat16)
+            # rows in the einsum's NATURAL (p, r, d, n) output layout —
+            # i.e. with D-MAJOR columns (dof index d*N + n). Forcing
+            # node-major columns ("->prnd") makes XLA materialize a
+            # transposed copy of the whole row matrix (measured 19 ms at
+            # the 4-dim blended data term); instead the matvec permutes
+            # its (6N,) VECTOR between node-major and d-major (free).
+            # Row ORDER never matters for the Gram.
             rows = jnp.einsum(
-                "pkn,prkd->prnd", oh16, jac.astype(jnp.bfloat16)
+                "prkd,pkn->prdn", jac.astype(jnp.bfloat16), oh16
             ).reshape(-1, 6 * n_nodes)
             h_p = jnp.einsum("prkd,prke->pkde", jac, jac, precision=hi)
             oh32 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.float32)
@@ -901,8 +973,7 @@ def solve(
         if axis_name is not None:
 
             def eval_fn(s_, dqs_):
-                r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
-                jtr_d = data_jtr(s_, jac, r, n_nodes)
+                jtr_d, cost_d = data_grad_cost(cfg, s_, dqs_, n_nodes, point_to_plane)
                 jtr_d, cost_d = jax.lax.psum((jtr_d, cost_d), axis_name)
                 re, je_i, je_j, cost_e = edge_residual_and_jac(cfg, s_, dqs_)
                 jtr_e = edge_jtr(s_, je_i, je_j, re, n_nodes)
@@ -1027,10 +1098,15 @@ def solve(
             rows, _, eb = jtj
 
             def mv(p):
-                t = jnp.dot(rows, p.astype(jnp.bfloat16),
+                # rows carry D-MAJOR columns (see system_fn): permute the
+                # vector in and out instead of transposing the 100+ MB
+                # row matrix
+                pd = p.reshape(n_nodes, 6).T.reshape(-1)
+                t = jnp.dot(rows, pd.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
-                ap = jnp.dot(t.astype(jnp.bfloat16), rows,
-                             preferred_element_type=jnp.float32)
+                apd = jnp.dot(t.astype(jnp.bfloat16), rows,
+                              preferred_element_type=jnp.float32)
+                ap = apd.reshape(6, n_nodes).T.reshape(-1)
                 if axis_name is not None:
                     ap = jax.lax.psum(ap, axis_name)
                 return ap + edge_matvec(s, eb, p, n_nodes) + damp * p
