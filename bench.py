@@ -136,8 +136,10 @@ def _hinge_centers(t):
 
 
 def _quality_frame(cfg, t, scene):
-    """One clean depth frame of a quality scene ('sphere' tuned family or
-    'hinge' hold-out family), uint16 mm."""
+    """One clean depth frame of a quality scene ('sphere' tuned family,
+    'hinge' hold-out, or 'bulge' hold-out), uint16 mm."""
+    if scene == "bulge":
+        return synthetic.bulge_depth(cfg.intr, cfg.rows, cfg.cols, t)
     if scene == "hinge":
         ca, cb = _hinge_centers(t)
         return synthetic.scene_depth(
@@ -190,7 +192,15 @@ def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
     cloud = tsdf_ops.extract_cloud(cfg, df.state.vol, max_points=1 << 19)
     pts = np.asarray(cloud.points)[np.asarray(cloud.valid)]
     voxel_mm = cfg.voxel_size * 1000.0
-    if scene == "hinge":
+    if scene == "bulge":
+        # evaluate the bulge region (the flat plane is trivial surface)
+        near = np.sqrt((pts[:, 0] + 0.1) ** 2 + pts[:, 1] ** 2) < 2.5 * 0.06
+        pts = pts[near]
+        err = synthetic.bulge_surface_error_m(pts)
+        samples, cos_inc = synthetic.bulge_surface_samples()
+        metric = "holdout_bulge_error_mm"
+        unit = "mm (median |surface - analytic|, traveling-bulge-on-plane hold-out)"
+    elif scene == "hinge":
         ca, cb = _hinge_centers(0)
         r = HINGE["r"]
         da = np.linalg.norm(pts - ca, axis=-1)
@@ -262,10 +272,12 @@ def main():
     ap.add_argument("--noise", action="store_true",
                     help="with --quality: apply the Kinect sensor-noise model "
                          "(io.synthetic.kinect_noise) to every input frame")
-    ap.add_argument("--scene", default="sphere", choices=["sphere", "hinge"],
+    ap.add_argument("--scene", default="sphere",
+                    choices=["sphere", "hinge", "bulge"],
                     help="with --quality: 'sphere' = the tuned deforming-"
-                         "sphere family, 'hinge' = the HELD-OUT articulated "
-                         "two-sphere scissor scene")
+                         "sphere family; 'hinge' (articulated scissor) and "
+                         "'bulge' (traveling bump on a plane) are HELD-OUT "
+                         "families")
     ap.add_argument("--seed", type=int, default=0,
                     help="noise-model seed base for --quality runs")
     ap.add_argument("--no-quality", action="store_true",
@@ -345,6 +357,7 @@ def main():
         run_quality(cfg, max(args.frames, 20), noise=True, df=df)
         if not args.rigid:
             run_quality(cfg, max(args.frames, 20), noise=True, scene="hinge", df=df)
+            run_quality(cfg, max(args.frames, 20), noise=True, scene="bulge", df=df)
     print(json.dumps(result))
 
 

@@ -499,6 +499,28 @@ class DynamicFusionConfig:
         )
 
     @classmethod
+    def quality_dynamicfusion(cls) -> "DynamicFusionConfig":
+        """The ARTICULATED-motion operating point (round 4):
+        default_dynamicfusion plus the blended point-to-plane +
+        point-to-point data term (solver_p2p_weight=0.25 — restores
+        tangential observability, see the flag's measured record). ~23
+        fps instead of 31-36 at the bench shape.
+
+        MOTION-CLASS DEPENDENT — measured on the two hold-out families:
+        articulated rigid-ish parts (hinge scissor) improve dramatically
+        (med 1.45 -> 0.78 mm, coverage 0.75 -> 0.81) because the parts
+        really do translate tangentially; a traveling deformation WAVE
+        (bulge-on-plane) gets WORSE (med 0.97 -> 1.90, coverage 0.76 ->
+        0.68) because there the material correspondence is ambiguous and
+        the point term drags the canonical surface along with the wave.
+        The default preset (p2pl-only) remains the general-purpose
+        choice; pick this one when the subject is an articulated body
+        (the reference's primary use case — hands, people, objects)."""
+        return dataclasses.replace(
+            cls.default_dynamicfusion(), solver_p2p_weight=0.25
+        )
+
+    @classmethod
     def reference_parity(cls) -> "DynamicFusionConfig":
         """The reference's literal parameter values where they differ from
         the tuned defaults: the FIXME-hardcoded dg_w = 3.0 m

@@ -84,6 +84,68 @@ def deforming_sphere_depth(
     return np.clip(z * 1000.0, 0, 65535).astype(np.uint16)
 
 
+def bulge_depth(
+    intr: Intrinsics,
+    rows: int,
+    cols: int,
+    t: float,
+    plane_z: float = 1.1,
+    amp: float = 0.08,
+    sigma: float = 0.06,
+    x0: float = -0.1,
+    speed: float = 0.01,
+) -> np.ndarray:
+    """A plane at ``plane_z`` with a Gaussian bulge (height ``amp``, width
+    ``sigma``) whose center TRAVELS along x at ``speed`` m/frame — a
+    second held-out deformation family (round 4): the bulge's motion is
+    largely tangential to the surface it rides on. Heightfield rendered
+    by fixed-point iteration along each ray (the map z -> z_s(z*dx, z*dy)
+    is a contraction for amp/sigma * |dx| < 1)."""
+    u, v = np.meshgrid(np.arange(cols, dtype=np.float64), np.arange(rows, dtype=np.float64))
+    dx = (u - intr.cx) / intr.fx
+    dy = (v - intr.cy) / intr.fy
+    xc = x0 + speed * t
+
+    def z_surf(x, y):
+        return plane_z - amp * np.exp(-((x - xc) ** 2 + y * y) / (2.0 * sigma * sigma))
+
+    z = np.full(dx.shape, plane_z)
+    for _ in range(16):
+        z = z_surf(z * dx, z * dy)
+    return np.clip(z * 1000.0, 0, 65535).astype(np.uint16)
+
+
+def bulge_surface_error_m(points: np.ndarray, plane_z=1.1, amp=0.08, sigma=0.06, x0=-0.1):
+    """Distance (m) of world points to the analytic t=0 bulge surface
+    (normal-projected vertical distance of the heightfield)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    g = np.exp(-((x - x0) ** 2 + y * y) / (2.0 * sigma * sigma))
+    zs = plane_z - amp * g
+    gx = amp * g * (x - x0) / (sigma * sigma)
+    gy = amp * g * y / (sigma * sigma)
+    return np.abs(z - zs) / np.sqrt(1.0 + gx * gx + gy * gy)
+
+
+def bulge_surface_samples(m: int = 1600, plane_z=1.1, amp=0.08, sigma=0.06, x0=-0.1):
+    """Ground-truth samples of the t=0 bulge region (within 2.5 sigma of
+    the center) with per-sample |cos incidence| vs the camera-at-origin
+    view ray — support for the surface-coverage metric."""
+    g = int(np.sqrt(m))
+    ax = np.linspace(-2.5 * sigma, 2.5 * sigma, g)
+    xx, yy = np.meshgrid(x0 + ax, ax)
+    x, y = xx.ravel(), yy.ravel()
+    gs = np.exp(-((x - x0) ** 2 + y * y) / (2.0 * sigma * sigma))
+    z = plane_z - amp * gs
+    gx = amp * gs * (x - x0) / (sigma * sigma)
+    gy = amp * gs * y / (sigma * sigma)
+    n = np.stack([-gx, -gy, -np.ones_like(gx)], -1)  # upward-facing (toward camera)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    p = np.stack([x, y, z], -1)
+    d = p / np.linalg.norm(p, axis=-1, keepdims=True)
+    cos_inc = np.abs(np.sum(n * d, axis=-1))
+    return p, cos_inc
+
+
 def scene_depth(
     intr: Intrinsics,
     rows: int,

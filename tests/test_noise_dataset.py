@@ -9,25 +9,19 @@ edge jitter, grazing-incidence + edge dropout) and run the FULL dataset
 path: disk -> native PNG loader -> DatasetSource -> pipeline -> mesh.
 """
 
-import dataclasses
 import os
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dynamicfusion_tpu.config import DynamicFusionConfig
 from dynamicfusion_tpu.io import capture, synthetic
 from dynamicfusion_tpu.pipeline import kinfu
 
-CFG = dataclasses.replace(
-    DynamicFusionConfig.small(dims=64, rows=120, cols=160),
-    max_nodes=256,
-    node_sample_step=7,
-    solver_nonlinear_iters=2,
-    node_coverage=0.06,
-    node_radius=0.06,
-)
+# EXACTLY test_pipeline's config (it differed only in solver_arap_weight
+# 10 -> 1): the jitted step is memoized per config (kinfu._jitted_step),
+# so sharing it saves this file a full pipeline compile in suite runs
+from tests.test_pipeline import CFG  # noqa: E402
 
 CENTER, RADIUS = (0.0, 0.0, 0.9), 0.25
 
