@@ -378,6 +378,22 @@ class DynamicFusionConfig:
     # (the |cos| image rides the same packed lookup).
     fusion_sdf_incidence_scale: bool = False
 
+    # Split each fusion event into S brick-phases processed on S
+    # consecutive sub-events (fusion runs every fusion_interval/S frames
+    # on bricks with brick_x % S == phase): every voxel still integrates
+    # every fusion_interval frames, but the per-frame fusion cost — and
+    # the static band-cap processing budget, which follows the cap —
+    # drops ~S-fold, flattening the every-Nth-frame latency SPIKE.
+    # MEASURED (round 4, v5e bench shape, interval 4): split 1 = ~28 ms
+    # steady with ~60 ms fusion frames (28.1 ms avg); split 4 = FLAT
+    # ~48 ms-class frames, no spikes, but 39.1 ms avg — fusion's FIXED
+    # costs (classification, to/from_bricks, coarse warp grid) are paid
+    # every frame while only the window lookups divide by S. Quality
+    # battery unchanged (phases compose bitwise on a single frame —
+    # tests/test_fusion.py). Default 1 (best average); set S for
+    # latency-uniformity-sensitive deployments. Must divide
+    # fusion_interval; band/wide caps are divided by S internally.
+    fusion_phase_split: int = 1
     # Fuse depth into the volume only every Nth frame (1 = every frame).
     # Tracking and the warp solve still run per frame against the existing
     # model; skipped frames' observations are simply not integrated —
@@ -409,6 +425,9 @@ class DynamicFusionConfig:
             "bricks must align with the coarse warp grid"
         )
         assert len(self.icp_iters) == self.pyramid_levels
+        assert self.fusion_interval % self.fusion_phase_split == 0, (
+            "fusion_phase_split must divide fusion_interval"
+        )
         assert self.raycast_subsample in (1, 2, 4)
         assert 2 ** (self.pyramid_levels - 1) > self.raycast_subsample, (
             "need at least one pyramid level below the raycast resolution"

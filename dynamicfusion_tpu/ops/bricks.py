@@ -496,6 +496,8 @@ def integrate_bricks(
     with_counts: bool = False,
     q_grid: jnp.ndarray | None = None,
     conf: jnp.ndarray | None = None,
+    phase: jnp.ndarray | int | None = None,
+    split: int = 1,
 ):
     """Brick-sparse projective TSDF fusion. ``cam_grid`` holds camera-frame
     positions of the voxel grid at stride ``g`` (g = brick_size for the rigid
@@ -529,16 +531,25 @@ def integrate_bricks(
     levels = int(math.ceil(math.log2(max(rows, cols)))) + 1
     pyr = build_depth_pyramid(dists, levels)
     bc = classify(cfg, cam_grid, g, pyr, intr, rows, cols, rect)
+    cls = bc.cls
+    if split > 1:
+        # phase-split (cfg.fusion_phase_split): only bricks whose x-plane
+        # index is in this phase participate — bricks outside the phase
+        # classify as SKIP, so the caps (and with them the STATIC
+        # processing cost, which follows the cap) divide by `split`
+        nb_x = d // b
+        bx = jnp.arange(nbr, dtype=jnp.int32) // (nb_x * nb_x)
+        cls = jnp.where((bx % split) == phase, cls, SKIP)
 
-    band_cap = min(cfg.integrate_band_cap, nbr)
-    wide_cap = min(cfg.integrate_wide_cap, nbr)
+    band_cap = min(max(cfg.integrate_band_cap // split, 1), nbr)
+    wide_cap = min(max(cfg.integrate_wide_cap // split, 1), nbr)
 
     # fill_value must be positive-out-of-bounds: scatter mode="drop" drops
     # index nbr, while -1 would WRAP (negative indexing) and corrupt the
     # last brick
-    (front_ids,) = jnp.nonzero(bc.cls == FRONT, size=nbr, fill_value=nbr)
-    (band_ids,) = jnp.nonzero(bc.cls == BAND, size=band_cap, fill_value=nbr)
-    (wide_ids,) = jnp.nonzero(bc.cls == WIDE, size=wide_cap, fill_value=nbr)
+    (front_ids,) = jnp.nonzero(cls == FRONT, size=nbr, fill_value=nbr)
+    (band_ids,) = jnp.nonzero(cls == BAND, size=band_cap, fill_value=nbr)
+    (wide_ids,) = jnp.nonzero(cls == WIDE, size=wide_cap, fill_value=nbr)
 
     tb = to_bricks(vol.tsdf, b)
     wb = to_bricks(vol.weight, b)
@@ -602,8 +613,8 @@ def integrate_bricks(
 
     out = TsdfVolume(from_bricks(tb, d, b), from_bricks(wb, d, b))
     if with_counts:
-        n_band = jnp.sum(bc.cls == BAND)
-        n_wide = jnp.sum(bc.cls == WIDE)
+        n_band = jnp.sum(cls == BAND)
+        n_wide = jnp.sum(cls == WIDE)
         dropped = jnp.maximum(n_band - band_cap, 0) + jnp.maximum(
             n_wide - wide_cap, 0
         )

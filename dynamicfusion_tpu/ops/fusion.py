@@ -207,6 +207,8 @@ def integrate_nonrigid(
     dq_grid: jnp.ndarray | None = None,
     q_grid: jnp.ndarray | None = None,
     conf: jnp.ndarray | None = None,
+    phase: jnp.ndarray | int | None = None,
+    split: int = 1,
 ):
     """Fuse one live depth frame into the canonical volume through the
     warp field (paper §3.3; the completed form of surface_fusion +
@@ -255,7 +257,7 @@ def integrate_nonrigid(
         return bricks.integrate_bricks(
             cfg, vol, dists, cam_grid, cfg.knn_field_stride, intr,
             with_counts=with_counts, q_grid=q_grid if use_q else None,
-            conf=conf,
+            conf=conf, phase=phase, split=split,
         )
 
     wx, wy, wz = warp_voxel_field(cfg, field, dq_grid)
@@ -285,6 +287,11 @@ def integrate_nonrigid(
 
     psdf = dp - jnp.sqrt(x * x + y * y + z * z)
     update = inb & (dp != 0.0) & (psdf >= -trunc)
+    if split > 1:
+        # dense-mode phase split: same brick-x-plane semantics as the
+        # brick path (cfg.fusion_phase_split)
+        bx = (jnp.arange(d, dtype=jnp.int32) // cfg.brick_size) % split
+        update = update & (bx == phase)[:, None, None]
 
     if use_q:
         # observation weight: blend quality prolonged from the coarse grid

@@ -111,10 +111,10 @@ def make_sharded_integrate(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P()),
+        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P(), P()),
         out_specs=(P(axis, None, None), P(axis, None, None), P()),
     )
-    def _integrate(tsdf_loc, w_loc, dists, lookup_img, cam_grid, enabled):
+    def _integrate(tsdf_loc, w_loc, dists, lookup_img, cam_grid, enabled, phase):
         rows, cols = dists.shape
         rect = min(cfg.integrate_rect, 1 << int(math.log2(min(rows, cols))))
 
@@ -132,14 +132,22 @@ def make_sharded_integrate(
         bc = bricks.classify(
             cfg, slab[..., :3], g, pyr, intr, rows, cols, rect
         )
+        cls = bc.cls
+        if cfg.fusion_phase_split > 1:
+            # same brick-x-plane phase semantics as bricks.integrate_bricks
+            # (GLOBAL x index: shard offset + local plane)
+            bx = dev * nb_loc + jnp.arange(nbr_loc, dtype=jnp.int32) // (nb * nb)
+            cls = jnp.where(
+                (bx % cfg.fusion_phase_split) == phase, cls, bricks.SKIP
+            )
 
         # front/band caps = ALL local bricks: those classes never drop;
         # the wide fallback keeps a cap (see module docstring) with exact
         # truncation reporting below
         wide_cap = max(nbr_loc // 8, 16)
-        (front_ids,) = jnp.nonzero(bc.cls == bricks.FRONT, size=nbr_loc, fill_value=nbr_loc)
-        (band_ids,) = jnp.nonzero(bc.cls == bricks.BAND, size=nbr_loc, fill_value=nbr_loc)
-        (wide_ids,) = jnp.nonzero(bc.cls == bricks.WIDE, size=wide_cap, fill_value=nbr_loc)
+        (front_ids,) = jnp.nonzero(cls == bricks.FRONT, size=nbr_loc, fill_value=nbr_loc)
+        (band_ids,) = jnp.nonzero(cls == bricks.BAND, size=nbr_loc, fill_value=nbr_loc)
+        (wide_ids,) = jnp.nonzero(cls == bricks.WIDE, size=wide_cap, fill_value=nbr_loc)
 
         tb = _to_bricks_rect(tsdf_loc, b)
         wb = _to_bricks_rect(w_loc, b)
@@ -204,10 +212,10 @@ def make_sharded_integrate(
         # module docstring
         new_tsdf = jnp.where(enabled, new_tsdf, tsdf_loc)
         new_w = jnp.where(enabled, new_w, w_loc)
-        n_wide_loc = jnp.sum(bc.cls == bricks.WIDE)
+        n_wide_loc = jnp.sum(cls == bricks.WIDE)
         counts = jax.lax.psum(
             jnp.stack([
-                jnp.sum(bc.cls == bricks.BAND),
+                jnp.sum(cls == bricks.BAND),
                 n_wide_loc,
                 jnp.maximum(n_wide_loc - wide_cap, 0),
             ]).astype(jnp.int32) * enabled.astype(jnp.int32),
@@ -217,7 +225,7 @@ def make_sharded_integrate(
 
     def integrate_fn(
         cfg_, vol, field, dists, world2cam, intr_, with_counts=False,
-        dq_grid=None, q_grid=None, enabled=None, conf=None,
+        dq_grid=None, q_grid=None, enabled=None, conf=None, phase=None,
     ):
         assert intr_ == intr, "sharded integrate is specialized to cfg.intr"
         assert (conf is not None) == cfg.fusion_incidence_weight
@@ -237,8 +245,11 @@ def make_sharded_integrate(
             cam_grid = jnp.concatenate([cam_grid, q_grid[..., None]], axis=-1)
         if enabled is None:
             enabled = jnp.array(True)
+        if phase is None:
+            phase = jnp.zeros((), jnp.int32)
         new_tsdf, new_w, counts = _integrate(
-            vol.tsdf, vol.weight, dists, lookup_img, cam_grid, enabled
+            vol.tsdf, vol.weight, dists, lookup_img, cam_grid, enabled,
+            jnp.asarray(phase, jnp.int32),
         )
         out = TsdfVolume(new_tsdf, new_w)
         if with_counts:

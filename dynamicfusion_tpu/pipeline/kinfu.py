@@ -449,8 +449,14 @@ def step(
 
     # ---- 5. non-rigid fusion into the canonical volume ----
     # gated on ICP health (see 4b) and the fusion interval; lax.cond
-    # executes only the taken branch
-    fuse_now = icp_res.ok & (state.frame_idx % cfg.fusion_interval == 0)
+    # executes only the taken branch. With fusion_phase_split = S, fusion
+    # fires every interval/S frames on 1/S of the brick x-planes (phase
+    # rotates), so each voxel keeps its every-interval cadence while the
+    # per-frame fusion spike divides by ~S (config docstring).
+    fsplit = cfg.fusion_phase_split
+    sub_interval = max(cfg.fusion_interval // fsplit, 1)
+    fuse_now = icp_res.ok & (state.frame_idx % sub_interval == 0)
+    fuse_phase = (state.frame_idx // sub_interval) % fsplit
     if cfg.fusion_incidence_weight:
         # per-pixel RAW |cos| of the live normal against the viewing ray,
         # at the full-res pixels fusion looks up (config flag docstring);
@@ -468,7 +474,7 @@ def step(
         vol, bcounts = integrate_fn(
             cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
             with_counts=True, dq_grid=dq_grid, q_grid=q_grid,
-            enabled=fuse_now, conf=conf,
+            enabled=fuse_now, conf=conf, phase=fuse_phase,
         )
     else:
         vol, bcounts = jax.lax.cond(
@@ -476,6 +482,7 @@ def step(
             lambda: fusion.integrate_nonrigid(
                 cfg, state.vol, warp, dists, se3.inverse(pose), cfg.intr,
                 with_counts=True, dq_grid=dq_grid, q_grid=q_grid, conf=conf,
+                phase=fuse_phase, split=fsplit,
             ),
             lambda: (state.vol, jnp.zeros((3,), jnp.int32)),
         )

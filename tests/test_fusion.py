@@ -260,3 +260,37 @@ class TestIncidenceWeight:
         np.testing.assert_allclose(
             np.asarray(v_one.weight), np.asarray(v_ref.weight), atol=1e-5
         )
+
+
+def test_phase_split_composes_to_full():
+    """fusion_phase_split: integrating the S phases of ONE frame in
+    sequence must reproduce the unsplit integrate bitwise — phases touch
+    disjoint brick x-planes, so composition is union."""
+    cfg = dataclasses.replace(CFG, fusion_interval=4, fusion_phase_split=2)
+    depth = synthetic.sphere_depth(cfg.intr, cfg.rows, cfg.cols, (0, 0, 1.0), 0.25)
+    dists = preprocess.compute_dists(cfg.intr, jnp.asarray(depth))
+    field = _identity_field()
+    w2c = _w2c()
+
+    full = fusion.integrate_nonrigid(
+        cfg, volume_model.create(cfg), field, dists, w2c, cfg.intr
+    )
+    v = volume_model.create(cfg)
+    for ph in range(2):
+        v = fusion.integrate_nonrigid(
+            cfg, v, field, dists, w2c, cfg.intr, phase=ph, split=2
+        )
+    np.testing.assert_array_equal(np.asarray(v.tsdf), np.asarray(full.tsdf))
+    np.testing.assert_array_equal(np.asarray(v.weight), np.asarray(full.weight))
+
+    # dense path obeys the same phase semantics
+    cfg_d = dataclasses.replace(cfg, integrate_mode="dense")
+    full_d = fusion.integrate_nonrigid(
+        cfg_d, volume_model.create(cfg_d), field, dists, w2c, cfg_d.intr
+    )
+    vd = volume_model.create(cfg_d)
+    for ph in range(2):
+        vd = fusion.integrate_nonrigid(
+            cfg_d, vd, field, dists, w2c, cfg_d.intr, phase=ph, split=2
+        )
+    np.testing.assert_array_equal(np.asarray(vd.tsdf), np.asarray(full_d.tsdf))
