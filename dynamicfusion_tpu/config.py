@@ -504,10 +504,18 @@ class DynamicFusionConfig:
           med 1.04 / p95 3.08 / cov 0.98). Single-chip and multi-chip now
           run the SAME solver structure (the distributed solve psums the
           row-matvec products).
+        - fusion_interval=6 (round 4, re-swept once fusion dropped from
+          the dominant phase to the dominant REMAINING phase): 28.1 ->
+          23.6 ms/frame; 20-frame battery equal-or-better on every seed
+          (med 0.82-0.88 / p95 2.3-2.7 / cov 0.953-0.957), 50-frame
+          1.06/2.99/0.987, BOTH hold-outs better than interval 4 (hinge
+          1.32/3.73/0.79, bulge 0.92/2.66/0.76); only the noiseless
+          25-frame tail worsens slightly (p95 9.3 -> 10.5). interval=8
+          fails the coverage gate (0.944) — the gate is the backstop.
         """
         return cls(
             raycast_refine="newton8",
-            fusion_interval=4,
+            fusion_interval=6,
             fusion_incidence_weight=True,
             raycast_temporal_band=True,
             fusion_incidence_floor=0.35,
