@@ -499,17 +499,10 @@ def data_jtr(
     n_nodes: int,
 ) -> jnp.ndarray:
     """Data-term gradient J^T r from (sqrt-weighted) Jacobians+residuals.
-    jac^T r needs better than bf16: split into bf16 hi + bf16 lo and run
-    two bf16 one-hot matmuls with f32 accumulation — exact to ~2^-16
-    relative, no f32 one-hot materialization."""
-    oh = jax.nn.one_hot(s.knn_idx, n_nodes, dtype=jnp.bfloat16)  # (P,K,N)
+    jac^T r needs better than bf16 — _scatter_jtr's bf16 hi+lo split is
+    exact to ~2^-16 relative with no f32 one-hot materialization."""
     jr = jnp.einsum("prkd,pr->pkd", jac, r)  # (P, K, 6) f32
-    hi = jr.astype(jnp.bfloat16)
-    lo = (jr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (
-        jnp.einsum("pkn,pkd->nd", oh, hi, preferred_element_type=jnp.float32)
-        + jnp.einsum("pkn,pkd->nd", oh, lo, preferred_element_type=jnp.float32)
-    ).reshape(-1)
+    return _scatter_jtr(s, jr, n_nodes)
 
 
 def data_system(
