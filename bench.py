@@ -77,6 +77,7 @@ def frames(cfg, n):
 
 BG_SPHERE = dict(center=(0.32, -0.18, 1.0), radius=0.1)
 HINGE = dict(h=np.array([0.0, 0.0, 0.95]), d=0.16, r=0.12)
+CONTACT = dict(z=0.92, r=0.11)
 
 
 def _visible_sphere_samples(center, radius, m=2048, occluders=()):
@@ -135,11 +136,31 @@ def _hinge_centers(t):
     return ca, cb
 
 
+def _contact_centers(t):
+    """Two spheres TOUCHING at t=0 (surface distance zero — topology-
+    adjacent contact), then separating along x: HELD-OUT scene (round 5,
+    VERDICT r4 #8) stressing self-occlusion + association across a
+    closing/opening contact. Never used to tune any default."""
+    r, z = CONTACT["r"], CONTACT["z"]
+    d = r + 0.05 * (1.0 - np.cos(0.2 * t)) / 2.0
+    return np.array([-d, 0.0, z]), np.array([d, 0.0, z])
+
+
 def _quality_frame(cfg, t, scene):
-    """One clean depth frame of a quality scene ('sphere' tuned family,
-    'hinge' hold-out, or 'bulge' hold-out), uint16 mm."""
+    """One clean depth frame of a quality scene ('sphere' tuned family;
+    'hinge'/'bulge'/'contact'/'cloth' hold-outs), uint16 mm."""
     if scene == "bulge":
         return synthetic.bulge_depth(cfg.intr, cfg.rows, cfg.cols, t)
+    if scene == "cloth":
+        return synthetic.cloth_depth(cfg.intr, cfg.rows, cfg.cols, t)
+    if scene == "contact":
+        ca, cb = _contact_centers(t)
+        return synthetic.scene_depth(
+            cfg.intr, cfg.rows, cfg.cols,
+            spheres=[dict(center=tuple(ca), radius=CONTACT["r"]),
+                     dict(center=tuple(cb), radius=CONTACT["r"])],
+            plane_z=1.3,
+        )
     if scene == "hinge":
         ca, cb = _hinge_centers(t)
         return synthetic.scene_depth(
@@ -200,6 +221,34 @@ def run_quality(cfg, n, noise, seed=0, scene="sphere", df=None):
         samples, cos_inc = synthetic.bulge_surface_samples()
         metric = "holdout_bulge_error_mm"
         unit = "mm (median |surface - analytic|, traveling-bulge-on-plane hold-out)"
+    elif scene == "cloth":
+        # evaluate the sheet region (margin inside the edges)
+        p = synthetic.CLOTH
+        near = (
+            (pts[:, 0] > p["x0"] + 0.02) & (pts[:, 0] < p["x1"] - 0.02)
+            & (pts[:, 1] > p["y0"] + 0.02) & (pts[:, 1] < p["y1"] - 0.02)
+            & (pts[:, 2] < 1.2)
+        )
+        pts = pts[near]
+        err = synthetic.cloth_surface_error_m(pts)
+        samples, cos_inc = synthetic.cloth_surface_samples()
+        metric = "holdout_cloth_error_mm"
+        unit = "mm (median |surface - analytic|, articulated+wave cloth hold-out)"
+    elif scene == "contact":
+        ca, cb = _contact_centers(0)
+        r = CONTACT["r"]
+        da = np.linalg.norm(pts - ca, axis=-1)
+        db = np.linalg.norm(pts - cb, axis=-1)
+        near = (da < r + 0.08) | (db < r + 0.08)
+        pts = pts[near & (pts[:, 2] < 1.2)]
+        err = np.minimum(np.abs(np.linalg.norm(pts - ca, axis=-1) - r),
+                         np.abs(np.linalg.norm(pts - cb, axis=-1) - r))
+        sa, ca_i = _visible_sphere_samples(ca, r, occluders=[dict(center=cb, radius=r)])
+        sb, cb_i = _visible_sphere_samples(cb, r, occluders=[dict(center=ca, radius=r)])
+        samples = np.concatenate([sa, sb], axis=0)
+        cos_inc = np.concatenate([ca_i, cb_i], axis=0)
+        metric = "holdout_contact_error_mm"
+        unit = "mm (median |surface - analytic|, touching-spheres contact hold-out)"
     elif scene == "hinge":
         ca, cb = _hinge_centers(0)
         r = HINGE["r"]
@@ -273,11 +322,12 @@ def main():
                     help="with --quality: apply the Kinect sensor-noise model "
                          "(io.synthetic.kinect_noise) to every input frame")
     ap.add_argument("--scene", default="sphere",
-                    choices=["sphere", "hinge", "bulge"],
+                    choices=["sphere", "hinge", "bulge", "contact", "cloth"],
                     help="with --quality: 'sphere' = the tuned deforming-"
-                         "sphere family; 'hinge' (articulated scissor) and "
-                         "'bulge' (traveling bump on a plane) are HELD-OUT "
-                         "families")
+                         "sphere family; 'hinge' (articulated scissor), "
+                         "'bulge' (traveling bump on a plane), 'contact' "
+                         "(touching-then-separating spheres) and 'cloth' "
+                         "(articulated+wave sheet) are HELD-OUT families")
     ap.add_argument("--seed", type=int, default=0,
                     help="noise-model seed base for --quality runs")
     ap.add_argument("--no-quality", action="store_true",
@@ -356,8 +406,8 @@ def main():
     if not (args.no_quality or args.small):
         run_quality(cfg, max(args.frames, 20), noise=True, df=df)
         if not args.rigid:
-            run_quality(cfg, max(args.frames, 20), noise=True, scene="hinge", df=df)
-            run_quality(cfg, max(args.frames, 20), noise=True, scene="bulge", df=df)
+            for sc in ("hinge", "bulge", "contact", "cloth"):
+                run_quality(cfg, max(args.frames, 20), noise=True, scene=sc, df=df)
     print(json.dumps(result))
 
 

@@ -429,6 +429,11 @@ class DynamicFusionConfig:
             "fusion_phase_split must divide fusion_interval"
         )
         assert self.raycast_subsample in (1, 2, 4)
+        assert not self.fusion_sdf_incidence_scale or self.fusion_incidence_weight, (
+            "fusion_sdf_incidence_scale needs fusion_incidence_weight: the "
+            "|cos| image rides the packed depth lookup — without the weight "
+            "flag the scale silently no-ops"
+        )
         assert 2 ** (self.pyramid_levels - 1) > self.raycast_subsample, (
             "need at least one pyramid level below the raycast resolution"
         )

@@ -541,6 +541,16 @@ def integrate_bricks(
         bx = jnp.arange(nbr, dtype=jnp.int32) // (nb_x * nb_x)
         cls = jnp.where((bx % split) == phase, cls, SKIP)
 
+    # Per-phase caps divide by `split` — that division IS the latency win
+    # (static processing cost follows the cap). Bricks are NOT guaranteed
+    # to distribute evenly across x-plane phases: a phase holding more than
+    # cap/split bricks drops the excess (stale for one interval) even when
+    # the unsplit integrate at the same caps would have processed them.
+    # The drop is never silent — it lands in the exact `dropped` count
+    # below (StepOutputs.brick_counts / bench's brick_overflow flag);
+    # phase-split deployments must size the caps per phase via
+    # brick_counts. tests/test_fusion.py asserts dropped == 0 at a
+    # cap-stressed shape.
     band_cap = min(max(cfg.integrate_band_cap // split, 1), nbr)
     wide_cap = min(max(cfg.integrate_wide_cap // split, 1), nbr)
 

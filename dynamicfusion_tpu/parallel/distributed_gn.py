@@ -212,19 +212,6 @@ def make_sharded_solve(
 
     n_dev = mesh.shape[axis]
 
-    body = partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=P(),
-        check_vma=False,
-    )(
-        lambda field, inputs_local: warp_solver.solve(
-            cfg, field, inputs_local, point_to_plane=point_to_plane,
-            axis_name=axis, axis_size=n_dev,
-        )
-    )
-
     def solve_fn(field: WarpField, inputs: WarpSolveInputs):
         p = inputs.p_can.shape[0]
         pad = (-p) % (n_dev * max(cfg.solver_hessian_stride, 1))
@@ -236,6 +223,22 @@ def make_sharded_solve(
             inputs = WarpSolveInputs(*(pz(a) for a in inputs))
         inputs = jax.lax.with_sharding_constraint(
             inputs, jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), inputs)
+        )
+        # global_points = the UNPADDED count: prepare()'s full-scale /
+        # hessian-stride thresholds must match the single-device solve
+        # even when the NaN padding crosses the 8192 boundary (the padded
+        # rows are invalid and contribute nothing either way)
+        body = partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )(
+            lambda field_, inputs_local: warp_solver.solve(
+                cfg, field_, inputs_local, point_to_plane=point_to_plane,
+                axis_name=axis, axis_size=n_dev, global_points=p,
+            )
         )
         return body(field, inputs)
 

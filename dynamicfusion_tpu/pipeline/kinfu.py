@@ -567,12 +567,28 @@ class DynamicFusion:
 
             cfg = dataclasses.replace(cfg, raycast_refine="secant")
         self.cfg = cfg
-        self.state = init_state(cfg)
+        self._state = init_state(cfg)
         self._first = _jitted_first(cfg)
         self._step = _jitted_step(cfg)
         self.last_outputs: StepOutputs | None = None
         self._started = False
         self.poses = [jnp.eye(4)]  # trajectory (KinFu::poses_, kinfu.hpp:86)
+
+    @property
+    def state(self) -> PipelineState:
+        return self._state
+
+    @state.setter
+    def state(self, s: PipelineState):
+        """Direct assignment (checkpoint restore without restore(), tests)
+        re-syncs the host-side first-frame flag from the state's frame_idx
+        so a mid-sequence state can never route through first_frame again.
+        The int() fetch blocks on the device scalar — fine for the rare
+        external assignment; the per-frame loop writes self._state
+        directly and never pays it (the round-4 dispatch-bubble fix)."""
+        self._state = s
+        self._started = int(s.frame_idx) > 0
+        self.last_outputs = None
 
     def __call__(self, depth_mm, block: bool = True) -> bool:
         """Process one frame. With block=False the call only dispatches
@@ -588,26 +604,25 @@ class DynamicFusion:
         checkpoint goes through ``restore()``, which sets the flag."""
         depth_mm = jnp.asarray(depth_mm, jnp.uint16)
         if not self._started:
-            self.state = self._first(self.state, depth_mm)
+            self._state = self._first(self._state, depth_mm)
             self._started = True
             return False
-        self.state, self.last_outputs = self._step(self.state, depth_mm)
+        self._state, self.last_outputs = self._step(self._state, depth_mm)
         self.poses.append(self.last_outputs.pose)
         return self.last_ok if block else True
 
     def restore(self, state: PipelineState):
         """Adopt a (checkpoint-loaded) state; subsequent calls run full
-        steps unless the state is a frame-0 init state."""
+        steps unless the state is a frame-0 init state. (Equivalent to
+        assigning ``self.state`` — kept for API clarity.)"""
         self.state = state
-        self._started = int(state.frame_idx) > 0
-        self.last_outputs = None
 
     @property
     def last_ok(self) -> bool:
         return bool(self.last_outputs.icp_ok) if self.last_outputs is not None else False
 
     def reset(self):
-        self.state = init_state(self.cfg)
+        self._state = init_state(self.cfg)
         self._started = False
         self.last_outputs = None
         self.poses = [jnp.eye(4)]

@@ -875,6 +875,7 @@ def solve(
     eval_fn=None,
     axis_name: Optional[str] = None,
     axis_size: int = 1,
+    global_points: int | None = None,
 ) -> Tuple[WarpField, SolveStats]:
     """Estimate the warp field for the current frame.
 
@@ -975,12 +976,13 @@ def solve(
         elif eval_fn is None:
             eval_fn = lambda s_, dqs_: gn_eval(cfg, s_, dqs_, n_nodes, point_to_plane)
 
-    s = prepare(
-        cfg, field, inputs, point_to_plane,
-        global_points=(
-            inputs.p_can.shape[0] * axis_size if axis_name is not None else None
-        ),
-    )
+    if global_points is None and axis_name is not None:
+        # fallback: the padded global count (callers that care about exact
+        # cross-mesh threshold equivalence — make_sharded_solve — pass the
+        # UNPADDED count, so the P > 8192 / hessian-stride decisions match
+        # the single-device solve even when NaN padding crosses a threshold)
+        global_points = inputs.p_can.shape[0] * axis_size
+    s = prepare(cfg, field, inputs, point_to_plane, global_points=global_points)
 
     # ---- outer LM loop ----
     dqs = field.dq

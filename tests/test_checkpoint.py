@@ -49,6 +49,15 @@ def test_save_load_roundtrip(tmp_path):
     df2.restore(restored)
     assert df2(d)
 
+    # DIRECT assignment must resync the started flag too (the state
+    # property's setter) — a mid-sequence state routed through first_frame
+    # would re-integrate the frame as frame 0 into a populated volume
+    df3 = kinfu.DynamicFusion(CFG)
+    df3.state = checkpoint.load(p, CFG)
+    assert df3._started
+    assert df3(d)
+    assert int(df3.state.frame_idx) == 3
+
 
 def test_load_rejects_wrong_config(tmp_path):
     df = kinfu.DynamicFusion(CFG)

@@ -283,6 +283,33 @@ def test_phase_split_composes_to_full():
     np.testing.assert_array_equal(np.asarray(v.tsdf), np.asarray(full.tsdf))
     np.testing.assert_array_equal(np.asarray(v.weight), np.asarray(full.weight))
 
+    # cap-stressed shape: with band_cap sized just over the scene's actual
+    # per-phase band count, the divided per-phase caps must NOT drop bricks
+    # (dropped is the exact truncation count — ops/bricks.py cap note).
+    # The scene has <= band_total band bricks spread over x-plane phases;
+    # a cap of band_total guarantees each phase's share fits cap // split
+    # only if the distribution is no worse than even*2 — assert the count
+    # says zero, i.e. the accounting (not the assumption) is load-bearing.
+    band_total = int(
+        np.asarray(
+            fusion.integrate_nonrigid(
+                cfg, volume_model.create(cfg), field, dists, w2c, cfg.intr,
+                with_counts=True,
+            )[1]
+        )[0]
+    )
+    cfg_s = dataclasses.replace(cfg, integrate_band_cap=2 * band_total)
+    vs = volume_model.create(cfg_s)
+    for ph in range(2):
+        vs, counts = fusion.integrate_nonrigid(
+            cfg_s, vs, field, dists, w2c, cfg_s.intr, phase=ph, split=2,
+            with_counts=True,
+        )
+        assert int(np.asarray(counts)[2]) == 0, (
+            "phase-split dropped bricks at a cap-stressed shape"
+        )
+    np.testing.assert_array_equal(np.asarray(vs.tsdf), np.asarray(v.tsdf))
+
     # dense path obeys the same phase semantics
     cfg_d = dataclasses.replace(cfg, integrate_mode="dense")
     full_d = fusion.integrate_nonrigid(
