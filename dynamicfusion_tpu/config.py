@@ -294,6 +294,31 @@ class DynamicFusionConfig:
     # keeps 0 (the >= 30 fps headline); set 0.25 for tangentially-rich
     # motion where the extra 15 ms buys real tracking.
     solver_p2p_weight: float = 0.0
+    # Adaptive aperture gate for the tangential p2p term: scale the
+    # per-point weight by a windowed translation-model fit of the
+    # apparent motion field (kinfu._p2p_gate) — tangential pull applies
+    # on coherently-translating CURVED patches (articulated parts, where
+    # round 4 measured it fixing the hinge hold-out) and shuts off on
+    # flat/ambiguous ones (traveling waves, where the same term dragged
+    # the bulge hold-out 2x worse). False = uniform weight (the round-4
+    # blend behavior, now in the cheaper tangential formulation).
+    solver_p2p_adaptive: bool = False
+    # Keep the tangential p2p rows OUT of the PCG row matrix (they still
+    # drive the gradient, the exact cost, and the preconditioner /
+    # damping blocks): the Hessian is only a step metric in the lagged
+    # LM loop, and the full 3-dim rows measured ~11 ms/frame of pure
+    # matvec bandwidth at the bench shape (trace round 5). False =
+    # exact rows (the step metric models the tangential curvature too).
+    solver_p2p_lag_hessian: bool = True
+    # gate box window, px at the model-map resolution (~0.26 m at 0.9 m
+    # with the default intrinsics /4): must exceed the node-radius scale
+    # so the fit sees supra-node coherence
+    solver_p2p_gate_window: int = 41
+    # det(sum nn^T / S) at which the observability factor saturates
+    # (flat patch ~ 1e-4 class, curved patch ~ 1e-2..1e-1 class)
+    solver_p2p_gate_cond: float = 0.01
+    # explained-fraction floor of the translation fit (ramps to 1)
+    solver_p2p_gate_fit: float = 0.35
     # Assemble the data-term JtJ from int8-quantized Jacobian rows with
     # per-COLUMN scales (A = Q diag(c) factors EXACTLY through the syrk:
     # A^T A = diag(c) Q^T Q diag(c), so the only error is the <=0.4%
@@ -415,8 +440,21 @@ class DynamicFusionConfig:
     # Light for Phong rendering (reference light_pose, kinfu.cpp:46).
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
-    # Numerics
-    use_bf16_tsdf: bool = False
+    # Volume storage (models/volume.py codecs; all arithmetic is f32).
+    # tsdf: "i16" = fixed-point 1/32767 (15-bit mantissa in [-1,1] — the
+    # precision class the REJECTED round-4 bf16 experiment lacked: bf16's
+    # 8-bit mantissa corrupted the trilinear crossing, p95 2.66 -> 5.13
+    # mm); "f32"; "bf16" (kept for the record, known-bad quality).
+    # weight: "u16" = fixed-point 1/512 (the weight is a bounded counter,
+    # max 64 x quality <= 1 — 512ths are exact for its use); "f32".
+    # i16+u16 = 4 B/voxel, the reference's ushort2 packing parity
+    # (tsdf_volume.cu:53-61): 67 MB at 256^3 instead of 134, and every
+    # march gather / brick transpose moves half the bytes.
+    # MEASURED (round 5, v5e bench shape): quality battery within noise
+    # of f32 on all scene families (see the preset docstring), frame time
+    # equal-or-better — default ON.
+    tsdf_dtype: str = "i16"
+    weight_dtype: str = "u16"
 
     def __post_init__(self):
         assert self.volume_dims % 32 == 0, "volume_dims must be divisible by 32"
@@ -429,6 +467,8 @@ class DynamicFusionConfig:
             "fusion_phase_split must divide fusion_interval"
         )
         assert self.raycast_subsample in (1, 2, 4)
+        assert self.tsdf_dtype in ("f32", "bf16", "i16")
+        assert self.weight_dtype in ("f32", "u16")
         assert not self.fusion_sdf_incidence_scale or self.fusion_incidence_weight, (
             "fusion_sdf_incidence_scale needs fusion_incidence_weight: the "
             "|cos| image rides the packed depth lookup — without the weight "

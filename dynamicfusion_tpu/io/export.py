@@ -190,9 +190,11 @@ def marching_tetrahedra(
 
 def extract_mesh(cfg, vol, iso: float = 0.0) -> Mesh:
     """Canonical-surface mesh from a pipeline TsdfVolume (host-side)."""
+    from dynamicfusion_tpu.models import volume as volume_model
+
     return marching_tetrahedra(
-        np.asarray(vol.tsdf, np.float32),
-        np.asarray(vol.weight, np.float32),
+        np.asarray(volume_model.decode_tsdf(vol.tsdf)),
+        np.asarray(volume_model.decode_weight(vol.weight)),
         cfg.voxel_size,
         cfg.volume_origin,
         iso=iso,

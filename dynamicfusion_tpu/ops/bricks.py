@@ -398,13 +398,29 @@ def _fuse_rows(
     obs_w, sdf_scale = incidence_weight_scale(cfg, conf)
     q = q * obs_w
     tsdf_obs = jnp.minimum(1.0, psdf * sdf_scale / trunc)
-    t32 = tsdf_rows.astype(jnp.float32)
-    fused = (t32 * w_rows + tsdf_obs * q) / jnp.maximum(w_rows + q, 1e-12)
-    new_t = jnp.where(update & (w_rows + q > 1e-12), fused, t32).astype(tsdf_rows.dtype)
-    new_w = jnp.where(
-        update, jnp.minimum(w_rows + q, float(cfg.tsdf_max_weight)), w_rows
+    t32 = volume_model.decode_tsdf(tsdf_rows)
+    w32 = volume_model.decode_weight(w_rows)
+    fused = (t32 * w32 + tsdf_obs * q) / jnp.maximum(w32 + q, 1e-12)
+    new_t = volume_model.encode_tsdf(
+        jnp.where(update & (w32 + q > 1e-12), fused, t32), tsdf_rows.dtype
+    )
+    new_w = volume_model.encode_weight(
+        jnp.where(update, jnp.minimum(w32 + q, float(cfg.tsdf_max_weight)), w32),
+        w_rows.dtype,
     )
     return new_t, new_w
+
+
+def _fuse_front_rows(cfg: DynamicFusionConfig, ft: jnp.ndarray, fw: jnp.ndarray):
+    """Front (free-space) brick fuse: constant tsdf_obs = 1, weight + 1
+    (shared by integrate_bricks and parallel.sharded_fusion)."""
+    t32 = volume_model.decode_tsdf(ft)
+    w32 = volume_model.decode_weight(fw)
+    new_ft = volume_model.encode_tsdf((t32 * w32 + 1.0) / (w32 + 1.0), ft.dtype)
+    new_fw = volume_model.encode_weight(
+        jnp.minimum(w32 + 1.0, float(cfg.tsdf_max_weight)), fw.dtype
+    )
+    return new_ft, new_fw
 
 
 def _project(cam_pts: jnp.ndarray, intr: Intrinsics, rows: int, cols: int):
@@ -578,9 +594,7 @@ def integrate_bricks(
     # ---- front bricks: constant free-space observation ----
     ft = jnp.take(tb, jnp.minimum(front_ids, nbr - 1), axis=0)
     fw = jnp.take(wb, jnp.minimum(front_ids, nbr - 1), axis=0)
-    t32 = ft.astype(jnp.float32)
-    new_ft = ((t32 * fw + 1.0) / (fw + 1.0)).astype(tb.dtype)
-    new_fw = jnp.minimum(fw + 1.0, float(cfg.tsdf_max_weight))
+    new_ft, new_fw = _fuse_front_rows(cfg, ft, fw)
     tb = tb.at[front_ids].set(new_ft, mode="drop")
     wb = wb.at[front_ids].set(new_fw, mode="drop")
 

@@ -306,13 +306,16 @@ def integrate_nonrigid(
 
     q = q * obs_w
     tsdf_obs = jnp.minimum(1.0, psdf * sdf_scale / trunc)
-    w = vol.weight
-    tsdf_f32 = vol.tsdf.astype(jnp.float32)
+    w = volume_model.decode_weight(vol.weight)
+    tsdf_f32 = volume_model.decode_tsdf(vol.tsdf)
     fused = (tsdf_f32 * w + tsdf_obs * q) / jnp.maximum(w + q, 1e-12)
-    new_tsdf = jnp.where(
-        update & (w + q > 1e-12), fused, tsdf_f32
-    ).astype(vol.tsdf.dtype)
-    new_w = jnp.where(update, jnp.minimum(w + q, float(cfg.tsdf_max_weight)), w)
+    new_tsdf = volume_model.encode_tsdf(
+        jnp.where(update & (w + q > 1e-12), fused, tsdf_f32), vol.tsdf.dtype
+    )
+    new_w = volume_model.encode_weight(
+        jnp.where(update, jnp.minimum(w + q, float(cfg.tsdf_max_weight)), w),
+        vol.weight.dtype,
+    )
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:
         return out, jnp.zeros((3,), jnp.int32)  # dense path: nothing capped

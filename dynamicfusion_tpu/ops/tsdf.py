@@ -43,11 +43,13 @@ def fetch_nearest(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor TSDF fetch at (possibly fractional) voxel coords
     (..., 3) (TsdfRaycaster::fetch_tsdf, tsdf_volume.cu:333-340 — round to
     nearest; indices clipped for safety where the reference relies on the
-    caller staying in-bounds)."""
+    caller staying in-bounds). Accepts the STORED array (any volume dtype
+    — 16-bit arrays are gathered at 2 B/elem, decoded after the gather)."""
     d = tsdf.shape[0]
     idx = jnp.clip(jnp.round(p_voxels).astype(jnp.int32), 0, d - 1)
     flat = (idx[..., 0] * d + idx[..., 1]) * d + idx[..., 2]
-    return jnp.take(tsdf.reshape(-1), flat)
+    v = jnp.take(tsdf.reshape(-1), flat)
+    return v.astype(jnp.float32) * volume_model.tsdf_decode_scale(tsdf.dtype)
 
 
 def interpolate(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +81,7 @@ def interpolate(tsdf: jnp.ndarray, p_voxels: jnp.ndarray) -> jnp.ndarray:
                 wz = c if dz else (1.0 - c)
                 val = jnp.take(flat_vol, base + (dx * d + dy) * d + dz)
                 out = out + val.astype(jnp.float32) * (wx * wy * wz)
+    out = out * volume_model.tsdf_decode_scale(tsdf.dtype)
     return jnp.where(oob, NAN, out)
 
 
@@ -140,9 +143,10 @@ def interpolate_with_gradient(
         wa0 * (wb0 * (cor[0, 0, 1] - cor[0, 0, 0]) + wb1 * (cor[0, 1, 1] - cor[0, 1, 0]))
         + wa1 * (wb0 * (cor[1, 0, 1] - cor[1, 0, 0]) + wb1 * (cor[1, 1, 1] - cor[1, 1, 0]))
     )
-    grad = jnp.stack([gx, gy, gz], axis=-1)
+    sc = volume_model.tsdf_decode_scale(tsdf.dtype)
+    grad = jnp.stack([gx, gy, gz], axis=-1) * sc
     nanv = jnp.where(oob, NAN, 0.0)
-    return val + nanv, grad + nanv[..., None]
+    return val * sc + nanv, grad + nanv[..., None]
 
 
 def gradient(tsdf: jnp.ndarray, p_voxels: jnp.ndarray, delta_voxels: jnp.ndarray) -> jnp.ndarray:
@@ -236,11 +240,16 @@ def integrate(
     update = inb & (dp != 0.0) & (sdf >= -trunc)
 
     tsdf_new_obs = jnp.minimum(1.0, sdf / trunc)
-    w = vol.weight
-    tsdf_f32 = vol.tsdf.astype(jnp.float32)
+    w = volume_model.decode_weight(vol.weight)
+    tsdf_f32 = volume_model.decode_tsdf(vol.tsdf)
     fused = (tsdf_f32 * w + tsdf_new_obs) / (w + 1.0)
-    new_tsdf = jnp.where(update, fused, tsdf_f32).astype(vol.tsdf.dtype)
-    new_w = jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w)
+    new_tsdf = volume_model.encode_tsdf(
+        jnp.where(update, fused, tsdf_f32), vol.tsdf.dtype
+    )
+    new_w = volume_model.encode_weight(
+        jnp.where(update, jnp.minimum(w + 1.0, float(cfg.tsdf_max_weight)), w),
+        vol.weight.dtype,
+    )
     out = TsdfVolume(new_tsdf, new_w)
     if with_counts:
         return out, jnp.zeros((3,), jnp.int32)  # dense path: nothing capped
@@ -304,7 +313,9 @@ def raycast(
     trunc = volume_model.trunc_dist(cfg)
     step = trunc * cfg.raycast_step_factor
     vol_size = vs * d
-    tsdf = vol.tsdf.astype(jnp.float32)
+    # STORED dtype: the march's random gathers move 2 B/elem for 16-bit
+    # volumes; fetch_nearest/interpolate decode after the gather
+    tsdf = vol.tsdf
 
     r_cv = cam2vol[:3, :3]
     ray_org = cam2vol[:3, 3]
@@ -627,8 +638,8 @@ def extract_cloud(
     weight is exactly 1) pass min_weight=1."""
     d = cfg.volume_dims
     vs = cfg.voxel_size
-    tsdf = vol.tsdf.astype(jnp.float32)
-    w = vol.weight
+    tsdf = volume_model.decode_tsdf(vol.tsdf)
+    w = volume_model.decode_weight(vol.weight)
     mw = cfg.extract_min_weight if min_weight is None else min_weight
 
     pts_list = []
@@ -668,7 +679,7 @@ def extract_normals(
     gradient (ExtractNormals, tsdf_volume.cu:714-831)."""
     p_vox = (points_world - volume_model.origin(cfg)) / cfg.voxel_size
     g = gradient(
-        vol.tsdf.astype(jnp.float32),
+        vol.tsdf,
         p_vox,
         jnp.full((3,), cfg.gradient_delta_factor, jnp.float32),
     )

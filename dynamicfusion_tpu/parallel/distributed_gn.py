@@ -53,6 +53,7 @@ def _pad_points(s: SolveStructure, n_dev: int) -> SolveStructure:
         valid=pz(s.valid),
         knn_idx=pz(s.knn_idx),
         w_knn=pz(s.w_knn),
+        p2p_sw=pz(s.p2p_sw),
     )
 
 
@@ -63,6 +64,7 @@ def structure_specs(axis: str) -> SolveStructure:
     rep = P()
     return SolveStructure(
         p_can=pt, p_live=pt, n_live=pt, valid=pt, knn_idx=pt, w_knn=pt,
+        p2p_sw=pt,
         e_src=rep, e_dst=rep, e_valid=rep, v_dst=rep, alpha=rep,
     )
 
@@ -213,6 +215,7 @@ def make_sharded_solve(
     n_dev = mesh.shape[axis]
 
     def solve_fn(field: WarpField, inputs: WarpSolveInputs):
+        inputs = warp_solver._with_gate(inputs)
         p = inputs.p_can.shape[0]
         pad = (-p) % (n_dev * max(cfg.solver_hessian_stride, 1))
         if pad:

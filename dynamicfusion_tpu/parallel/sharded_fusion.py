@@ -164,9 +164,7 @@ def make_sharded_integrate(
         # ---- front bricks ----
         ft = jnp.take(tb, jnp.minimum(front_ids, nbr_loc - 1), axis=0)
         fw = jnp.take(wb, jnp.minimum(front_ids, nbr_loc - 1), axis=0)
-        t32 = ft.astype(jnp.float32)
-        new_ft = ((t32 * fw + 1.0) / (fw + 1.0)).astype(tb.dtype)
-        new_fw = jnp.minimum(fw + 1.0, float(cfg.tsdf_max_weight))
+        new_ft, new_fw = bricks._fuse_front_rows(cfg, ft, fw)
         tb = tb.at[front_ids].set(new_ft, mode="drop")
         wb = wb.at[front_ids].set(new_fw, mode="drop")
 

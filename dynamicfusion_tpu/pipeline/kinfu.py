@@ -194,6 +194,141 @@ def _model_maps(
     return pyr, res.points, res.normals
 
 
+def _box_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Separable (w x w) box-filter SUM over the leading two axes of
+    (H, W, C)."""
+    x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (w, 1, 1), (1, 1, 1), "SAME")
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, w, 1), (1, 1, 1), "SAME")
+
+
+def _p2p_gate(
+    cfg: DynamicFusionConfig,
+    live_pts_w: jnp.ndarray,    # (Ht, Wt, 3) live surface, world frame
+    live_nrm_w: jnp.ndarray,    # (Ht, Wt, 3) live normals, world frame
+    prev_model_w: jnp.ndarray,  # (Ht, Wt, 3) previous warped model, world frame
+    cam_z: jnp.ndarray,         # (Ht, Wt) live camera-frame depth (NaN ok)
+) -> jnp.ndarray:
+    """The ADAPTIVE APERTURE GATE (round 5): a per-pixel weight in [0, 1]
+    for the tangential point-to-point data term, from a windowed
+    translation-model fit of the apparent per-frame motion field.
+
+    The aperture problem is motion-class-dependent (round-4 hold-out
+    finding, CLAUDE.md): tangential p2p pull is RIGHT for articulated
+    parts (the hinge scissor under-tracked without it) and WRONG for
+    traveling deformation waves (the bulge hold-out regressed 2x with a
+    uniform blend — material correspondence is ambiguous under a wave).
+    Per pixel this computes, over a box window of the observable motion
+    b = n . (live - W(canonical)) (the component point-to-plane sees):
+
+    - N = sum n n^T, the normal second-moment. Its normalized
+      determinant measures whether the window's geometry can OBSERVE a
+      3-dof translation at all: a flat patch (bulge plane, cloth sheet)
+      has det ~ 0 — any tangential "motion" there is gauge, and dragging
+      material along it is how the wave failure happens. A curved patch
+      (sphere faces) has det >> 0 — tangential motion is triangulated by
+      the normal diversity, which is exactly when p2p is informative.
+    - the fraction of the b-energy explained by the single best-fit
+      translation t (solve N t = sum n b): low when the window's motion
+      is incoherent (association garbage, depth-edge mixing, pure
+      noise), high for a coherently translating patch.
+
+    gate = clip(det(N/S) / cond0) * clip((explained - fit0)/(1 - fit0)).
+
+    The window is DEPTH-BINNED (a separable approximation of a bilateral
+    window): each pixel aggregates only surface within +-1 depth bin
+    (~0.1 m) of its own. Without it, a window centered on an object
+    mixes in the background plane behind its silhouette, which dilutes
+    the object's normal diversity below the flat-scene level and kills
+    the discrimination; with it, an object window sees the OBJECT's
+    normals (det high) while a bump-on-plane window still sees its own
+    connected flat surroundings (det low) — which is exactly the
+    segment-level distinction the motion classes need. Cost: separable
+    box sums over 11 x nbins channels + a batched 3x3 solve at the
+    model-map resolution (sub-ms class)."""
+    w = cfg.solver_p2p_gate_window
+    delta = live_pts_w - prev_model_w
+    n = live_nrm_w
+    valid = jnp.isfinite(delta).all(-1) & jnp.isfinite(n).all(-1)
+    nz = jnp.where(valid[..., None], jnp.nan_to_num(n), 0.0)
+    b = jnp.where(valid, jnp.sum(nz * jnp.nan_to_num(delta), -1), 0.0)
+
+    # channels: [S, xx, yy, zz, xy, xz, yz, bx, by, bz, bb]
+    nx, ny, nzz = nz[..., 0], nz[..., 1], nz[..., 2]
+    feats = jnp.stack(
+        [
+            valid.astype(jnp.float32),
+            nx * nx, ny * ny, nzz * nzz,
+            nx * ny, nx * nzz, ny * nzz,
+            nx * b, ny * b, nzz * b,
+            b * b,
+        ],
+        axis=-1,
+    )
+    # depth-binned sums: feats spread over nbins one-hot depth bins,
+    # box-summed per bin, then each pixel gathers its own bin +-1
+    nbins = 16
+    z_lo, z_hi = 0.3, 1.9
+    bw = (z_hi - z_lo) / nbins
+    zb = jnp.clip(
+        jnp.floor((jnp.nan_to_num(cam_z, nan=-1.0) - z_lo) / bw).astype(jnp.int32),
+        0, nbins - 1,
+    )
+    oh = jax.nn.one_hot(zb, nbins, dtype=jnp.float32) * valid[..., None]
+    fb = (feats[..., None, :] * oh[..., :, None]).reshape(
+        *feats.shape[:2], nbins * feats.shape[-1]
+    )
+    sb = _box_sum(fb, w).reshape(*feats.shape[:2], nbins, feats.shape[-1])
+    def gather(i):
+        ok = (i >= 0) & (i < nbins)
+        g = jnp.take_along_axis(
+            sb, jnp.clip(i, 0, nbins - 1)[..., None, None], axis=-2
+        )[..., 0, :]
+        return g * ok[..., None]
+
+    s = gather(zb - 1) + gather(zb) + gather(zb + 1)
+    cnt = s[..., 0]
+    g = s[..., 7:10]
+    bb = s[..., 10]
+    cnt1 = jnp.maximum(cnt, 1.0)
+
+    # CLOSED-FORM symmetric 3x3 det + adjugate solve (jnp.linalg.det/
+    # solve lower to batched LU — a measured ~40 ms/frame disaster for
+    # 19200 tiny matrices on TPU; the explicit formulas are a handful of
+    # fused VPU multiplies)
+    reg = 1e-3 * cnt1
+    a11 = s[..., 1] + reg
+    a22 = s[..., 2] + reg
+    a33 = s[..., 3] + reg
+    a12, a13, a23 = s[..., 4], s[..., 5], s[..., 6]
+    c11 = a22 * a33 - a23 * a23
+    c12 = a13 * a23 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c22 = a11 * a33 - a13 * a13
+    c23 = a12 * a13 - a11 * a23
+    c33 = a11 * a22 - a12 * a12
+    det_r = a11 * c11 + a12 * c12 + a13 * c13  # det of the regularized N
+    inv_det = 1.0 / jnp.maximum(det_r, 1e-30)
+    g1, g2, g3 = g[..., 0], g[..., 1], g[..., 2]
+    t1 = (c11 * g1 + c12 * g2 + c13 * g3) * inv_det
+    t2 = (c12 * g1 + c22 * g2 + c23 * g3) * inv_det
+    t3 = (c13 * g1 + c23 * g2 + c33 * g3) * inv_det
+    expl = (t1 * g1 + t2 * g2 + t3 * g3) / jnp.maximum(bb, 1e-12)
+
+    # conditioning: det of the per-sample-normalized (UNregularized)
+    # second moment
+    b11, b22, b33 = s[..., 1], s[..., 2], s[..., 3]
+    cond = (
+        b11 * (b22 * b33 - a23 * a23)
+        + a12 * (a13 * a23 - a12 * b33)
+        + a13 * (a12 * a23 - a13 * b22)
+    ) / (cnt1 * cnt1 * cnt1)
+    gate_cond = jnp.clip(cond / cfg.solver_p2p_gate_cond, 0.0, 1.0)
+    f0 = cfg.solver_p2p_gate_fit
+    gate_fit = jnp.clip((expl - f0) / max(1.0 - f0, 1e-6), 0.0, 1.0)
+    enough = cnt > 0.15 * (w * w)
+    return jnp.where(enough, gate_cond * gate_fit, 0.0)
+
+
 def init_state(cfg: DynamicFusionConfig) -> PipelineState:
     shift = cfg.raycast_shift
 
@@ -389,11 +524,29 @@ def step(
     live_nrm_w = se3.rotate_dirs(pose, nrm_pyr[shift])
 
     sub = lambda a: a[::stride, ::stride].reshape(-1, 3)
+    if cfg.solver_p2p_weight > 0.0 and cfg.solver_p2p_adaptive:
+        # adaptive aperture gate for the tangential p2p term, computed
+        # against the PREVIOUS warped model map (the field's current
+        # live-surface prediction, pixel-associated like ICP); uses the
+        # bilateral-FILTERED live surface — the gate wants the motion
+        # field's structure, not raw sensor noise
+        prev_model_w = se3.transform_points(state.pose, state.prev_points[0])
+        gate = _p2p_gate(
+            cfg,
+            se3.transform_points(pose, pts_pyr[shift]),
+            live_nrm_w,
+            prev_model_w,
+            pts_pyr[shift][..., 2],
+        )
+        gate_sub = gate[::stride, ::stride].reshape(-1, 1)
+    else:
+        gate_sub = None
     inputs = warp_solver.WarpSolveInputs(
         p_can=sub(can_pts_w),
         n_can=sub(can_nrm_w),
         p_live=sub(live_pts_w),
         n_live=sub(live_nrm_w),
+        p2p_gate=gate_sub,
     )
 
     # ---- 4a. rigid pre-alignment (two-step optimization) ----

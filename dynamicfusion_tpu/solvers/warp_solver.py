@@ -85,13 +85,49 @@ def _data_residual_p2pl(eps_k, dq_k, w_k, p_can, p_live, n_live):
     return jnp.sum(n_live * (_warp_one(eps_k, dq_k, w_k, p_can) - p_live), keepdims=True)
 
 
-def _data_residual_blend(eps_k, dq_k, w_k, p_can, p_live, n_live, sqrt_wpp):
-    """Point-to-plane PLUS sqrt(w)-weighted point-to-point, (4,): the
-    plane term carries the accurate normal-direction constraint, the
-    point term restores TANGENTIAL observability (cfg.solver_p2p_weight
-    docstring — the hold-out hinge's aperture-problem finding)."""
+def _data_residual_tangential(eps_k, dq_k, w_k, p_can, p_live, n_live, t1, t2, sw):
+    """Point-to-plane PLUS per-point-weighted TANGENTIAL point terms, (3,):
+    [n.d, sw*(t1.d), sw*(t2.d)] with (t1, t2) an orthonormal tangent basis
+    of the live normal — the cfg.solver_p2p_weight data term.
+
+    Point-to-plane alone cannot observe motion tangential to a smooth
+    surface (the aperture problem — the hold-out hinge's round-4
+    finding); the tangential point terms restore that observability.
+    This supersedes the round-4 4-dim [n.d, sqrt(w)*d] blend: the point
+    term's normal component only duplicated the plane row, so projecting
+    it out keeps the same constraint content at 3/4 of the PCG
+    row-matrix bandwidth; and the weight ``sw`` is PER-POINT — the
+    adaptive aperture gate (cfg.solver_p2p_adaptive, kinfu._p2p_gate)
+    rides in it, so tangential pull applies only where the local motion
+    field actually supports a translation model."""
     d = _warp_one(eps_k, dq_k, w_k, p_can) - p_live
-    return jnp.concatenate([jnp.sum(n_live * d, keepdims=True), sqrt_wpp * d])
+    return jnp.stack([
+        jnp.sum(n_live * d),
+        sw * jnp.sum(t1 * d),
+        sw * jnp.sum(t2 * d),
+    ])
+
+
+def tangent_basis(n: jnp.ndarray):
+    """(P, 3) unit normals -> orthonormal (t1, t2) tangent frames.
+    Branch-free: pick the world axis least aligned with n as the helper."""
+    ax = jnp.argmin(jnp.abs(n), axis=-1)
+    helper = jax.nn.one_hot(ax, 3, dtype=n.dtype)
+    t1 = jnp.cross(n, helper)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def tangent_basis(n: jnp.ndarray):
+    """(P, 3) unit normals -> orthonormal (t1, t2) tangent frames.
+    Branch-free: pick the world axis least aligned with n as the helper."""
+    ax = jnp.argmin(jnp.abs(n), axis=-1)
+    helper = jax.nn.one_hot(ax, 3, dtype=n.dtype)
+    t1 = jnp.cross(n, helper)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
 
 
 def _edge_residual(eps_i, dq_i, eps_j, dq_j, v_j):
@@ -158,6 +194,7 @@ class SolveStructure(NamedTuple):
     valid: jnp.ndarray    # (P,) bool
     knn_idx: jnp.ndarray  # (P, K) node ids
     w_knn: jnp.ndarray    # (P, K) Gaussian blending weights
+    p2p_sw: jnp.ndarray   # (P,) sqrt per-point tangential p2p weight (0 = off)
     e_src: jnp.ndarray    # (E,)
     e_dst: jnp.ndarray    # (E,)
     e_valid: jnp.ndarray  # (E,) bool
@@ -170,6 +207,23 @@ class WarpSolveInputs(NamedTuple):
     n_can: jnp.ndarray    # (P, 3) canonical normals
     p_live: jnp.ndarray   # (P, 3) live targets (NaN = invalid)
     n_live: jnp.ndarray   # (P, 3) live normals
+    # (P, 1) per-point gate in [0, 1] scaling the tangential p2p weight
+    # (cfg.solver_p2p_weight * gate; kinfu passes the adaptive aperture
+    # gate or ones). Kept (P, 1) so every field of this tuple is 2-D —
+    # the padding/sharding helpers treat the fields uniformly. None
+    # (the default) means ones — prepare()/the distributed pad
+    # normalize it to an array before any tuple iteration.
+    p2p_gate: jnp.ndarray | None = None
+
+
+def _with_gate(inputs: WarpSolveInputs) -> WarpSolveInputs:
+    """Normalize p2p_gate=None to ones so the tuple can be iterated
+    uniformly (strided subsample, padding, sharding)."""
+    if inputs.p2p_gate is None:
+        inputs = inputs._replace(
+            p2p_gate=jnp.ones((inputs.p_can.shape[0], 1), jnp.float32)
+        )
+    return inputs
 
 
 def prepare(
@@ -195,7 +249,7 @@ def prepare(
     k = cfg.knn_k
     gp = global_points if global_points is not None else inputs.p_can.shape[0]
     hs = cfg.solver_hessian_stride if gp > 8192 else 1
-    inputs = WarpSolveInputs(*(a[::hs] for a in inputs))
+    inputs = WarpSolveInputs(*(a[::hs] for a in _with_gate(inputs)))
     valid = (
         ~jnp.isnan(inputs.p_can[:, 0])
         & ~jnp.isnan(inputs.p_live[:, 0])
@@ -204,6 +258,12 @@ def prepare(
     p_can = jnp.nan_to_num(inputs.p_can)
     p_live = jnp.nan_to_num(inputs.p_live)
     n_live = jnp.nan_to_num(inputs.n_live)
+    # sqrt of the effective per-point tangential p2p weight (0 when the
+    # term is off): cfg.solver_p2p_weight x the caller's gate
+    p2p_sw = jnp.sqrt(
+        cfg.solver_p2p_weight
+        * jnp.clip(jnp.nan_to_num(inputs.p2p_gate[:, 0]), 0.0, 1.0)
+    )
 
     d2, knn_idx = warpfield.knn(field, p_can, k, method=cfg.knn_method)
     w_knn = warpfield.weights_from_dist2(field, d2, knn_idx)
@@ -227,6 +287,7 @@ def prepare(
         valid=valid,
         knn_idx=knn_idx,
         w_knn=w_knn,
+        p2p_sw=p2p_sw,
         e_src=e_src,
         e_dst=e_dst,
         e_valid=e_valid,
@@ -318,9 +379,10 @@ def _data_fn_args(cfg: DynamicFusionConfig, s: SolveStructure, dqs, point_to_pla
     explicit-Jacobian and vjp paths)."""
     dq_k = jnp.take(dqs, s.knn_idx, axis=0)
     if point_to_plane and cfg.solver_p2p_weight > 0.0:
-        sq = math.sqrt(cfg.solver_p2p_weight)
-        fn = lambda e, d, w, pc, pl, nl: _data_residual_blend(e, d, w, pc, pl, nl, sq)
-        return fn, (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
+        t1, t2 = tangent_basis(s.n_live)
+        return _data_residual_tangential, (
+            dq_k, s.w_knn, s.p_can, s.p_live, s.n_live, t1, t2, s.p2p_sw
+        )
     if point_to_plane:
         return _data_residual_p2pl, (dq_k, s.w_knn, s.p_can, s.p_live, s.n_live)
     return _data_residual_p2p, (dq_k, s.w_knn, s.p_can, s.p_live)
@@ -392,21 +454,9 @@ def cost_at(
 ) -> jnp.ndarray:
     """True robust cost (Tukey rho for data, Huber rho for edges) at eps=0,
     over the (already prepare-subsampled) solve point set."""
-    dq_k_s = jnp.take(dqs, s.knn_idx, axis=0)
+    fn, args = _data_fn_args(cfg, s, dqs, point_to_plane)
     eps_k = jnp.zeros((s.knn_idx.shape[0], cfg.knn_k, 6), jnp.float32)
-    if point_to_plane and cfg.solver_p2p_weight > 0.0:
-        sq = math.sqrt(cfg.solver_p2p_weight)
-        r = jax.vmap(
-            lambda e, d, w, pc, pl, nl: _data_residual_blend(e, d, w, pc, pl, nl, sq)
-        )(eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live, s.n_live)
-    elif point_to_plane:
-        r = jax.vmap(_data_residual_p2pl)(
-            eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live, s.n_live
-        )
-    else:
-        r = jax.vmap(_data_residual_p2p)(
-            eps_k, dq_k_s, s.w_knn, s.p_can, s.p_live
-        )
+    r = jax.vmap(fn)(eps_k, *args)
     rn = jnp.linalg.norm(r, axis=-1)
     c = cfg.solver_tukey_c
     x2 = (rn / c) ** 2
@@ -929,6 +979,22 @@ def solve(
 
         def system_fn(s_, dqs_):
             r, jac, cost_d = data_residual_and_jac(cfg, s_, dqs_, point_to_plane)
+            # LAGGED TANGENTIAL HESSIAN (round 5): with the tangential p2p
+            # term on, the PCG row matrix keeps ONLY the plane rows —
+            # the tangential residuals still drive the gradient, the
+            # exact cost, and the (N,6,6) preconditioner/damping blocks
+            # below, but not the matvec. The Hessian is a step metric
+            # (accept/reject is exact-cost; same argument as the lagged
+            # JtJ itself), and the measured alternative — 3x the rows —
+            # is ~11 ms/frame of pure matvec bandwidth at the bench
+            # shape. Quality-gated on the full battery.
+            jac_rows = (
+                jac[:, :1]
+                if point_to_plane
+                and cfg.solver_p2p_weight > 0.0
+                and cfg.solver_p2p_lag_hessian
+                else jac
+            )
             # MATRIX-FREE data term: keep the (P, 6N) bf16 one-hot-expanded
             # row matrix (39 MB at bench shape) instead of its dense
             # (6N,6N) Gram (151 MB + an int8 syrk) — each PCG matvec is
@@ -948,7 +1014,7 @@ def solve(
             # its (6N,) VECTOR between node-major and d-major (free).
             # Row ORDER never matters for the Gram.
             rows = jnp.einsum(
-                "prkd,pkn->prdn", jac.astype(jnp.bfloat16), oh16
+                "prkd,pkn->prdn", jac_rows.astype(jnp.bfloat16), oh16
             ).reshape(-1, 6 * n_nodes)
             h_p = jnp.einsum("prkd,prke->pkde", jac, jac, precision=hi)
             oh32 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.float32)

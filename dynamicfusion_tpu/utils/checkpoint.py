@@ -48,6 +48,15 @@ def load(path: str, cfg: DynamicFusionConfig, mesh=None) -> kinfu.PipelineState:
                 f"checkpoint shape {a.shape} incompatible with config shape {b.shape}"
             )
     state = jax.tree.unflatten(treedef, flat)
+    if (
+        state.vol.tsdf.dtype != template.vol.tsdf.dtype
+        or state.vol.weight.dtype != template.vol.weight.dtype
+    ):
+        # dtype migration: a checkpoint written under a different volume
+        # storage setting (cfg.tsdf_dtype / weight_dtype) re-encodes
+        from dynamicfusion_tpu.models import volume as volume_model
+
+        state = state._replace(vol=volume_model.convert(state.vol, cfg))
     if mesh is not None:
         from dynamicfusion_tpu.parallel import sharded
 

@@ -78,10 +78,16 @@ def test_depth_pyramid_conservative():
             assert av < 0.5  # must not claim all-valid when it isn't
 
 
-def _compare_vols(va, vb, atol=2e-5):
-    ta, wa = np.asarray(va.tsdf, np.float32), np.asarray(va.weight)
-    tb, wb = np.asarray(vb.tsdf, np.float32), np.asarray(vb.weight)
-    np.testing.assert_allclose(wa, wb, atol=1e-5)
+def _compare_vols(va, vb, atol=4e-5):
+    # decoded comparison; tolerances cover f32 association noise plus one
+    # i16 quantum (1/32767) / one u16 weight quantum (1/512)
+    ta, wa = np.asarray(volume_model.decode_tsdf(va.tsdf)), np.asarray(
+        volume_model.decode_weight(va.weight)
+    )
+    tb, wb = np.asarray(volume_model.decode_tsdf(vb.tsdf)), np.asarray(
+        volume_model.decode_weight(vb.weight)
+    )
+    np.testing.assert_allclose(wa, wb, atol=2.5e-3)
     np.testing.assert_allclose(ta, tb, atol=atol)
 
 

@@ -100,7 +100,7 @@ def test_fusion_accumulates_weight():
     vol = volume_model.create(cfg)
     for _ in range(2):
         vol = fusion.integrate_nonrigid(cfg, vol, field, dists, se3.inverse(_w2c()), cfg.intr)
-    assert float(vol.weight.max()) == 2.0
+    assert float(volume_model.decode_weight(vol.weight).max()) == 2.0
 
 
 class TestQualityWeight:
@@ -113,7 +113,7 @@ class TestQualityWeight:
         vol = fusion.integrate_nonrigid(
             CFG, volume_model.create(CFG), field, dists, se3.inverse(_w2c()), CFG.intr
         )
-        wmax = float(vol.weight.max())
+        wmax = float(volume_model.decode_weight(vol.weight).max())
         assert 0.0 < wmax <= 1.0
 
     def test_unsupported_voxels_not_fused(self):
@@ -232,7 +232,7 @@ class TestIncidenceWeight:
         v_w = fusion.integrate_nonrigid(
             cfg, vol, field, dists, se3.identity(), cfg.intr, conf=conf
         )
-        w = np.asarray(v_w.weight)
+        w = np.asarray(volume_model.decode_weight(v_w.weight))
 
         d, vs = cfg.volume_dims, cfg.voxel_size
         org = np.asarray(cfg.volume_origin)
@@ -255,10 +255,12 @@ class TestIncidenceWeight:
             cfg.intr, conf=jnp.ones_like(dists),
         )
         np.testing.assert_allclose(
-            np.asarray(v_one.tsdf), np.asarray(v_ref.tsdf), atol=0.005
+            np.asarray(volume_model.decode_tsdf(v_one.tsdf)),
+            np.asarray(volume_model.decode_tsdf(v_ref.tsdf)), atol=0.005
         )
         np.testing.assert_allclose(
-            np.asarray(v_one.weight), np.asarray(v_ref.weight), atol=1e-5
+            np.asarray(volume_model.decode_weight(v_one.weight)),
+            np.asarray(volume_model.decode_weight(v_ref.weight)), atol=2.5e-3
         )
 
 

@@ -130,3 +130,65 @@ def test_fusion_interval_skips_off_frames():
     assert w_after[1] == w_after[0]
     assert w_after[2] > w_after[1]
     assert w_after[3] == w_after[2]
+
+
+def test_p2p_gate_discrimination():
+    """The adaptive aperture gate (kinfu._p2p_gate) must pass a
+    coherently-translating curved object, block a traveling wave on a
+    flat sheet, and block pure sensor noise (the motion-class finding of
+    the round-4 hold-outs)."""
+    import jax.numpy as jnp
+
+    cfg = DynamicFusionConfig.default_dynamicfusion()
+    H, W = 120, 160
+    f = cfg.intr.fx / 4
+    u, v = np.meshgrid(np.arange(W) - 80.0, np.arange(H) - 60.0)
+
+    def gate(pts, nrm, delta):
+        return np.asarray(
+            kinfu._p2p_gate(
+                cfg,
+                jnp.asarray(pts + delta, jnp.float32),
+                jnp.asarray(nrm, jnp.float32),
+                jnp.asarray(pts, jnp.float32),
+                jnp.asarray(pts[..., 2], jnp.float32),
+            )
+        )
+
+    # small sphere (hinge-scale) translating tangentially over a far plane
+    R, z0 = 0.12, 0.9
+    x, y = u * z0 / f, v * z0 / f
+    rr2 = x * x + y * y
+    on = rr2 < (R * 0.95) ** 2
+    zs = z0 - np.sqrt(np.maximum(R * R - rr2, 1e-9))
+    pts = np.stack([x, y, np.where(on, zs, 1.3)], -1)
+    n = np.where(
+        on[..., None],
+        np.stack([x / R, y / R, (zs - z0) / R], -1),
+        np.array([0.0, 0.0, -1.0]),
+    )
+    g_obj = gate(pts, n, np.where(on[..., None], np.array([0.005, 0.0, 0.0]), 0.0))
+    ridx = int(R * 0.8 * f / z0)
+    on_obj = g_obj[60 - ridx : 60 + ridx, 80 - ridx : 80 + ridx]
+    assert on_obj.mean() > 0.6, on_obj.mean()
+
+    # ripple sheet with a wave traveling along y (cloth/bulge class)
+    lam, a = 0.3, 0.015
+    x, y = u * 1.0 / f, v * 1.0 / f
+    zs = 1.0 + a * np.sin(2 * np.pi * y / lam)
+    gy = a * 2 * np.pi / lam * np.cos(2 * np.pi * y / lam)
+    nrm = np.stack([np.zeros_like(gy), -gy, -np.ones_like(gy)], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    pts = np.stack([x, y, zs], -1)
+    g_wave = gate(pts, nrm, np.broadcast_to(np.array([0.0, 0.012, 0.0]), pts.shape))
+    assert g_wave[40:80, 50:110].mean() < 0.1, g_wave.mean()
+
+    # flat static sheet + axial sensor noise
+    rng = np.random.RandomState(0)
+    delta = np.stack(
+        [np.zeros((H, W)), np.zeros((H, W)), rng.normal(0, 0.002, (H, W))], -1
+    )
+    pz = np.stack([x, y, np.full((H, W), 1.1)], -1)
+    nz = np.broadcast_to(np.array([0.0, 0.0, -1.0]), pz.shape)
+    g_noise = gate(pz, nz, delta)
+    assert g_noise[40:80, 50:110].mean() < 0.05, g_noise.mean()

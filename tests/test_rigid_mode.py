@@ -35,6 +35,7 @@ def test_rigid_tracking_and_fusion():
     est = np.asarray(df.get_pose())
     assert np.linalg.norm(est[:3, 3] - poses[-1][:3, 3]) < 0.01
     # multiple integrations accumulated
-    assert float(df.state.vol.weight.max()) >= 3.0
+    from dynamicfusion_tpu.models import volume as volume_model
+    assert float(volume_model.decode_weight(df.state.vol.weight).max()) >= 3.0
     # solver untouched
     assert float(df.last_outputs.solver_cost1) == 0.0

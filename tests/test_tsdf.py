@@ -41,8 +41,8 @@ def _integrated_sphere():
 
 def test_integrate_signs():
     vol = _integrated_sphere()
-    t = np.asarray(vol.tsdf, np.float32)
-    w = np.asarray(vol.weight)
+    t = np.asarray(volume_model.decode_tsdf(vol.tsdf))
+    w = np.asarray(volume_model.decode_weight(vol.weight))
     d, vs = CFG.volume_dims, CFG.voxel_size
     org = np.asarray(CFG.volume_origin)
 
@@ -76,7 +76,7 @@ def test_integrate_weight_accumulates():
     pose = se3.identity()
     for _ in range(3):
         vol = tsdf_ops.integrate(CFG, vol, dists, _vol2cam(pose), CFG.intr)
-    assert float(vol.weight.max()) == 3.0
+    assert float(volume_model.decode_weight(vol.weight).max()) == 3.0
     # same observation three times: average unchanged vs single shot
     vol1 = _integrated_sphere()
     np.testing.assert_allclose(

@@ -158,6 +158,42 @@ def test_point_to_plane_term():
     assert float(stats.final_cost) < 1e-6
 
 
+def test_tangential_p2p_restores_aperture_observability():
+    """The aperture problem and its fix (round 5): a displacement purely
+    TANGENTIAL to the (constant) normals is invisible to the
+    point-to-plane term (cost exactly 0, nothing solved) but observable
+    and solvable with the tangential p2p term; a per-point zero gate
+    reproduces the pure-p2pl behavior bitwise."""
+    field = _cube_field()
+    can = np.array([[0, 0, 0], [0.5, 0.5, 0.5], [-0.5, 0.2, -0.1]], np.float32)
+    n = np.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32), can.shape)
+    live = can + np.array([0.03, 0.0, 0.0], np.float32)  # tangential shift
+
+    # pure p2pl: blind to it
+    f_pl, s_pl = _solve(field, can, live, normals=n, p2pl=True)
+    assert float(s_pl.initial_cost) < 1e-12
+
+    # tangential p2p term on: sees and solves it
+    cfg = dataclasses.replace(ORACLE_CFG, solver_p2p_weight=1.0)
+    f_t, s_t = _solve(field, can, live, normals=n, cfg=cfg, p2pl=True)
+    assert float(s_t.initial_cost) > 1e-5
+    warped = np.asarray(warpfield.warp_points(f_t, jnp.asarray(can)))
+    np.testing.assert_allclose(warped, live, atol=1e-3)
+
+    # per-point gate 0 == pure p2pl
+    inputs0 = warp_solver.WarpSolveInputs(
+        p_can=jnp.asarray(can), n_can=jnp.asarray(n),
+        p_live=jnp.asarray(live), n_live=jnp.asarray(n),
+        p2p_gate=jnp.zeros((3, 1)),
+    )
+    f_g, s_g = warp_solver.solve(cfg, field, inputs0, point_to_plane=True)
+    assert float(s_g.initial_cost) < 1e-12
+    # same fixed point as pure p2pl (row shapes differ, so not bitwise)
+    np.testing.assert_allclose(
+        np.asarray(f_g.dq), np.asarray(f_pl.dq), atol=1e-6
+    )
+
+
 def test_arap_propagates_to_unconstrained_nodes():
     # The capability the reference never wired in (§2.9 item 8): with the
     # ARAP term active, nodes with no data constraints must follow their
