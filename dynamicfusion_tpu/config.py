@@ -201,6 +201,23 @@ class DynamicFusionConfig:
     node_sample_step: int = 50     # sample every Nth surface vertex as a node
     node_radius: float = 0.05      # dg_w, meters
     node_coverage: float = 0.025   # meters; insertion radius for new nodes
+    # Adaptive per-node radius dg_w from local sampling density (paper
+    # §3.4; the reference stores a per-node weight but FIXME-hardcodes
+    # it, warp_field.cpp:44-48): radius = node_radius_scale x distance
+    # to the node_radius_knn-th nearest node, clipped to
+    # [node_radius_min, node_radius_max]. Uniform radius (False)
+    # over-smooths dense regions and under-covers sparse ones.
+    node_radius_adaptive: bool = False
+    node_radius_knn: int = 4
+    node_radius_scale: float = 1.0
+    node_radius_min: float = 0.03
+    node_radius_max: float = 0.1
+    # Capacity lifecycle: when the node set is FULL, retire nodes with no
+    # visible canonical surface within node_support_radius for more than
+    # node_retire_after frames, freeing slots for new surface regions
+    # (models/warpfield.insert_nodes). 0 disables retirement.
+    node_retire_after: int = 60
+    node_support_radius: float = 0.06
     # Insertion-candidate subsampling: the coverage test (1-NN over the
     # whole model map) doesn't need every pixel — a stride-s subset still
     # offers ~P/s candidates for <= max_nodes slots per frame; applied only
@@ -303,13 +320,25 @@ class DynamicFusionConfig:
     # the bulge hold-out 2x worse). False = uniform weight (the round-4
     # blend behavior, now in the cheaper tangential formulation).
     solver_p2p_adaptive: bool = False
-    # Keep the tangential p2p rows OUT of the PCG row matrix (they still
-    # drive the gradient, the exact cost, and the preconditioner /
-    # damping blocks): the Hessian is only a step metric in the lagged
-    # LM loop, and the full 3-dim rows measured ~11 ms/frame of pure
-    # matvec bandwidth at the bench shape (trace round 5). False =
-    # exact rows (the step metric models the tangential curvature too).
-    solver_p2p_lag_hessian: bool = True
+    # Row-matrix subsampling for the TANGENTIAL p2p rows only: the PCG
+    # row matrix takes every k-th point's tangential rows scaled by
+    # sqrt(k) (an unbiased estimate of the tangential Gram — the same
+    # statistical argument as solver_hessian_stride, applied to the
+    # term that tripled the matvec bandwidth); plane rows, gradient,
+    # cost, and preconditioner blocks stay exact. 1 = exact rows.
+    solver_p2p_hessian_stride: int = 1
+    # EXPERIMENTAL (measured DUD, round 5 — keep False): keep the
+    # tangential p2p rows OUT of the PCG row matrix (gradient/cost/
+    # preconditioner still see them). Motivation was the rows' ~11
+    # ms/frame matvec bandwidth; MEASURED at the bench shape the
+    # mis-scaled steps cause LM rejection churn that makes it BOTH
+    # slower (41.7 vs 35.0 ms at LM3 with the adaptive gate) and worse
+    # (sphere med 1.39 vs 0.83 mm) than carrying the exact rows. The
+    # step metric needs the tangential curvature where the gate is
+    # spatially varying; lagging the WHOLE Hessian across iterations
+    # (solver_lagged_jtj) remains fine because it is exact at the
+    # linearization point.
+    solver_p2p_lag_hessian: bool = False
     # gate box window, px at the model-map resolution (~0.26 m at 0.9 m
     # with the default intrinsics /4): must exceed the node-radius scale
     # so the fit sees supra-node coherence

@@ -35,6 +35,12 @@ class WarpField(NamedTuple):
     radius: jnp.ndarray     # (N,)   node radial-basis weight dg_w
     active: jnp.ndarray     # (N,)   bool
     count: jnp.ndarray      # scalar int32
+    # frame index when the node last had canonical surface support within
+    # node_support_radius (the capacity-lifecycle clock, insert_nodes;
+    # stays 0 until first touched). Defaults to None so ad-hoc field
+    # constructions (tests/scripts) that never run the lifecycle don't
+    # need it.
+    last_support: jnp.ndarray | None = None
 
 
 def create(cfg: DynamicFusionConfig) -> WarpField:
@@ -45,6 +51,34 @@ def create(cfg: DynamicFusionConfig) -> WarpField:
         radius=jnp.full((n,), cfg.node_radius, jnp.float32),
         active=jnp.zeros((n,), bool),
         count=jnp.zeros((), jnp.int32),
+        last_support=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def _adaptive_radius(
+    cfg: DynamicFusionConfig,
+    positions: jnp.ndarray,  # (M, 3) candidate node positions
+    ref_pos: jnp.ndarray,    # (N, 3) reference node set (may equal positions)
+    ref_ok: jnp.ndarray,     # (N,) bool
+    self_ref: bool,
+) -> jnp.ndarray:
+    """Per-node dg_w from local node sampling density (the paper's §3.4
+    intent; the reference stores a per-node weight but hardcodes it via a
+    FIXME, warp_field.cpp:44-48): radius = scale * (distance to the
+    node_radius_knn-th nearest other node), clipped to
+    [node_radius_min, node_radius_max]. Uniform radius over-smooths where
+    nodes are dense and under-covers where sparse."""
+    k = cfg.node_radius_knn + (1 if self_ref else 0)
+    d2 = (
+        jnp.sum(positions * positions, axis=-1, keepdims=True)
+        - 2.0 * positions @ ref_pos.T
+        + jnp.sum(ref_pos * ref_pos, axis=-1)[None, :]
+        + jnp.where(ref_ok, 0.0, _BIG)[None, :]
+    )
+    neg, _ = jax.lax.top_k(-d2, k)
+    dk = jnp.sqrt(jnp.maximum(-neg[:, -1], 0.0))
+    return jnp.clip(
+        cfg.node_radius_scale * dk, cfg.node_radius_min, cfg.node_radius_max
     )
 
 
@@ -63,12 +97,20 @@ def init_from_cloud(
     ok = sel >= 0
     pos = jnp.where(ok[:, None], jnp.take(pts, jnp.maximum(sel, 0), axis=0), 0.0)
 
+    if cfg.node_radius_adaptive:
+        radius = jnp.where(
+            ok, _adaptive_radius(cfg, pos, pos, ok, self_ref=True),
+            cfg.node_radius,
+        )
+    else:
+        radius = jnp.full((n,), cfg.node_radius, jnp.float32)
     return WarpField(
         positions=pos,
         dq=jnp.broadcast_to(dualquat.identity(), (n, 8)),
-        radius=jnp.full((n,), cfg.node_radius, jnp.float32),
+        radius=radius,
         active=ok,
         count=jnp.sum(ok.astype(jnp.int32)),
+        last_support=jnp.zeros((n,), jnp.int32),
     )
 
 
@@ -196,13 +238,56 @@ def warp_points(
 # --------------------------------------------------------------------------
 
 
+def _mutual_nearest(
+    field: WarpField,
+    candidates: jnp.ndarray,
+    valid: jnp.ndarray,
+    chunk: int = 16384,
+):
+    """One chunked pass over the (C, N) distance matrix returning BOTH
+    per-candidate squared distance to the nearest active node (the
+    insertion coverage test) and per-node squared distance to the nearest
+    VALID candidate (the lifecycle support test)."""
+    p = candidates.shape[0]
+    q = jnp.nan_to_num(candidates)
+    pad = (-p) % chunk
+    qp = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)], axis=0)
+    vp = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+    qc = qp.reshape(-1, chunk, 3)
+    vc = vp.reshape(-1, chunk)
+    nodes = field.positions
+    n2 = jnp.sum(nodes * nodes, axis=-1)
+    inactive = jnp.where(field.active, 0.0, _BIG)
+
+    def one_chunk(carry, t):
+        qi, vi = t
+        d2 = (
+            jnp.sum(qi * qi, axis=-1, keepdims=True)
+            - 2.0 * qi @ nodes.T
+            + n2[None, :]
+            + inactive[None, :]
+        )
+        cand_min = jnp.min(d2, axis=-1)
+        node_min = jnp.min(
+            jnp.where(vi[:, None], d2, _BIG), axis=0
+        )
+        return jnp.minimum(carry, node_min), cand_min
+
+    node_d2, cand_d2 = jax.lax.scan(
+        one_chunk, jnp.full((nodes.shape[0],), _BIG), (qc, vc)
+    )
+    return jnp.maximum(cand_d2.reshape(-1)[:p], 0.0), jnp.maximum(node_d2, 0.0)
+
+
 def insert_nodes(
     cfg: DynamicFusionConfig,
     field: WarpField,
     candidates: jnp.ndarray,
     valid: jnp.ndarray,
+    frame_idx: jnp.ndarray | None = None,
 ) -> WarpField:
-    """Insert unsupported surface vertices as new nodes.
+    """Insert unsupported surface vertices as new nodes; maintain the
+    capacity lifecycle.
 
     A candidate is *uncovered* if its nearest active node is farther than
     ``node_coverage``. Candidates are decimated to one per coverage cell
@@ -210,17 +295,50 @@ def insert_nodes(
     can't flood the capacity with near-duplicates; survivors fill free
     slots with identity-initialized transforms warped-to-current via DQB of
     the existing field (so new nodes start consistent with the deformation
-    around them).
+    around them) and a density-adaptive radius (_adaptive_radius).
 
-    When the field is FULL (count == capacity) the whole pass is skipped
-    via lax.cond — a saturated field is the steady state of long runs and
-    the coverage test + decimation sort (~8 ms at bench shape) would buy
-    nothing."""
+    LIFECYCLE (round 5; the paper's streaming capability implies
+    recycling — the reference never even implemented insertion): every
+    call refreshes each active node's ``last_support`` stamp (nearest
+    visible canonical-surface point within cfg.node_support_radius).
+    When the field is FULL, nodes unsupported for more than
+    cfg.node_retire_after frames are RETIRED (deactivated; their slots
+    are reused by subsequent insertions) — without this, a long sequence
+    that saturates capacity can never track NEW surface regions again.
+    Retired geometry that later returns re-inserts fresh nodes seeded
+    from the surviving blended field. 0 disables retirement.
+
+    The insertion pass itself (decimation sort etc., ~8 ms at bench
+    shape) stays lax.cond-skipped while the field is full and nothing
+    was retired."""
     cap = field.positions.shape[0]
+    cand_d2, node_d2 = _mutual_nearest(field, candidates, valid)
+
+    if (
+        frame_idx is not None
+        and cfg.node_retire_after > 0
+        and field.last_support is not None
+    ):
+        fi = jnp.asarray(frame_idx, jnp.int32)
+        r = cfg.node_support_radius
+        supported = field.active & (node_d2 < r * r)
+        last_support = jnp.where(supported, fi, field.last_support)
+        full = field.count >= cap
+        retire = (
+            full
+            & field.active
+            & (fi - last_support > cfg.node_retire_after)
+        )
+        active = field.active & ~retire
+        field = field._replace(
+            active=active,
+            count=jnp.sum(active.astype(jnp.int32)),
+            last_support=last_support,
+        )
 
     return jax.lax.cond(
         field.count < cap,
-        lambda: _insert_nodes_impl(cfg, field, candidates, valid),
+        lambda: _insert_nodes_impl(cfg, field, candidates, valid, cand_d2, frame_idx),
         lambda: field,
     )
 
@@ -230,12 +348,13 @@ def _insert_nodes_impl(
     field: WarpField,
     candidates: jnp.ndarray,
     valid: jnp.ndarray,
+    cand_d2: jnp.ndarray,
+    frame_idx: jnp.ndarray | None,
 ) -> WarpField:
     cov = cfg.node_coverage
     cap = field.positions.shape[0]
 
-    d2 = nearest_dist2(field, candidates)
-    uncovered = valid & (d2 > cov * cov)
+    uncovered = valid & (cand_d2 > cov * cov)
 
     # coverage-cell decimation: unique cell ids, first occurrence
     cell = jnp.floor(jnp.nan_to_num(candidates) / cov).astype(jnp.int32)
@@ -254,28 +373,48 @@ def _insert_nodes_impl(
 
     # seed the new node's transform from the current field at its position
     seed_dq = warp_dq_at(field, new_pos, k=min(8, cap), method=cfg.knn_method)
-    slots = field.count + jnp.cumsum(ok.astype(jnp.int32)) - 1
+    if cfg.node_radius_adaptive:
+        new_radius = _adaptive_radius(
+            cfg, new_pos, field.positions, field.active, self_ref=False
+        )
+    else:
+        new_radius = jnp.full((cap,), cfg.node_radius, jnp.float32)
+
+    # free-slot allocation (retirement leaves HOLES, so slots come from
+    # the inactive-slot list, not an append-at-count)
+    (free_idx,) = jnp.nonzero(~field.active, size=cap, fill_value=cap)
+    slots = jnp.take(free_idx, slot_rank.clip(0, cap - 1))
     slots = jnp.where(ok, slots, cap)  # sentinel: masked out below
 
     idx_safe = slots.clip(0, cap - 1)
     upd_mask = ok & (slots < cap)
     # delta-scatter: masked rows contribute 0, so collisions at the clipped
-    # sentinel index are harmless; valid rows have unique slots (cumsum ranks)
+    # sentinel index are harmless; valid rows have unique slots (free list)
     positions = field.positions.at[idx_safe].add(
         jnp.where(upd_mask[:, None], new_pos - field.positions[idx_safe], 0.0)
     )
     dq = field.dq.at[idx_safe].add(
         jnp.where(upd_mask[:, None], seed_dq - field.dq[idx_safe], 0.0)
     )
+    radius = field.radius.at[idx_safe].add(
+        jnp.where(upd_mask, new_radius - field.radius[idx_safe], 0.0)
+    )
     active = field.active.at[idx_safe].max(upd_mask)
     count = field.count + jnp.sum(upd_mask.astype(jnp.int32))
+    last_support = field.last_support
+    if frame_idx is not None and last_support is not None:
+        fi = jnp.asarray(frame_idx, jnp.int32)
+        last_support = last_support.at[idx_safe].add(
+            jnp.where(upd_mask, fi - last_support[idx_safe], 0)
+        )
 
     return WarpField(
         positions=positions,
         dq=dq,
-        radius=field.radius,
+        radius=radius,
         active=active,
         count=count,
+        last_support=last_support,
     )
 
 

@@ -647,6 +647,7 @@ def step(
     warp = warpfield.insert_nodes(
         cfg, warp, inputs.p_can[::ins],
         icp_res.ok & ~jnp.isnan(sub(can_pts_w)[::ins, 0]),
+        frame_idx=state.frame_idx,
     )
 
     # ---- 7. model raycast for display and next-frame tracking ----

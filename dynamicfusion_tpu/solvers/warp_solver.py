@@ -769,11 +769,55 @@ def _diag_blocks(a: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     return blocks[ar, :, ar, :]
 
 
+def _sym3_inv(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (...,3,3) symmetric positive-definite
+    matrices (adjugate / det) — a handful of fused VPU multiplies."""
+    a11, a12, a13 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    a22, a23, a33 = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    c11 = a22 * a33 - a23 * a23
+    c12 = a13 * a23 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c22 = a11 * a33 - a13 * a13
+    c23 = a12 * a13 - a11 * a23
+    c33 = a11 * a22 - a12 * a12
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    s = jnp.sign(det)
+    inv_det = s / jnp.maximum(jnp.abs(det), 1e-30)
+    row0 = jnp.stack([c11, c12, c13], -1)
+    row1 = jnp.stack([c12, c22, c23], -1)
+    row2 = jnp.stack([c13, c23, c33], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
+def spd6_inv(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (N, 6, 6) SPD matrices via the 2x2-block
+    Schur complement with symmetric 3x3 adjugate inverses. Replaces
+    jnp.linalg.inv here because XLA lowers the batched inverse to LU —
+    a measured ~3 ms per preconditioner rebuild at N=1024 on v5e, vs
+    a few fused einsums for this closed form. These are LM-damped
+    diagonal blocks (floor-regularized), well inside f32 range."""
+    hi = jax.lax.Precision.HIGHEST
+    a = m[..., :3, :3]
+    b = m[..., :3, 3:]
+    c = m[..., 3:, 3:]
+    a_inv = _sym3_inv(a)
+    a_inv_b = jnp.einsum("nij,njk->nik", a_inv, b, precision=hi)
+    schur = c - jnp.einsum("nji,njk->nik", b, a_inv_b, precision=hi)
+    s_inv = _sym3_inv(0.5 * (schur + jnp.swapaxes(schur, -1, -2)))
+    tl = a_inv + jnp.einsum(
+        "nij,njk,nlk->nil", a_inv_b, s_inv, a_inv_b, precision=hi
+    )
+    tr = -jnp.einsum("nij,njk->nik", a_inv_b, s_inv, precision=hi)
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(tr, -1, -2), s_inv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _block_diag_inv(a: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     """(N, 6, 6) inverses of the per-node diagonal blocks of a (6N, 6N)
     SPD matrix — the block-Jacobi preconditioner (the same per-node Schur
     block the distributed GN reduces over)."""
-    return jnp.linalg.inv(_diag_blocks(a, n_nodes))
+    return spd6_inv(_diag_blocks(a, n_nodes))
 
 
 def _pcg(matvec, minv: jnp.ndarray, b: jnp.ndarray, n_nodes: int, iters: int, rtol: float) -> jnp.ndarray:
@@ -995,6 +1039,13 @@ def solve(
                 and cfg.solver_p2p_lag_hessian
                 else jac
             )
+            tang_stride = (
+                cfg.solver_p2p_hessian_stride
+                if point_to_plane
+                and cfg.solver_p2p_weight > 0.0
+                and not cfg.solver_p2p_lag_hessian
+                else 1
+            )
             # MATRIX-FREE data term: keep the (P, 6N) bf16 one-hot-expanded
             # row matrix (39 MB at bench shape) instead of its dense
             # (6N,6N) Gram (151 MB + an int8 syrk) — each PCG matvec is
@@ -1013,9 +1064,25 @@ def solve(
             # the 4-dim blended data term); instead the matvec permutes
             # its (6N,) VECTOR between node-major and d-major (free).
             # Row ORDER never matters for the Gram.
-            rows = jnp.einsum(
-                "prkd,pkn->prdn", jac_rows.astype(jnp.bfloat16), oh16
-            ).reshape(-1, 6 * n_nodes)
+            if tang_stride > 1:
+                # plane rows exact; tangential rows every tang_stride-th
+                # point, sqrt-rescaled (cfg.solver_p2p_hessian_stride)
+                rows_p = jnp.einsum(
+                    "prkd,pkn->prdn",
+                    jac[:, :1].astype(jnp.bfloat16), oh16,
+                ).reshape(-1, 6 * n_nodes)
+                rows_t = jnp.einsum(
+                    "prkd,pkn->prdn",
+                    (jac[::tang_stride, 1:] * math.sqrt(tang_stride)).astype(
+                        jnp.bfloat16
+                    ),
+                    oh16[::tang_stride],
+                ).reshape(-1, 6 * n_nodes)
+                rows = jnp.concatenate([rows_p, rows_t], axis=0)
+            else:
+                rows = jnp.einsum(
+                    "prkd,pkn->prdn", jac_rows.astype(jnp.bfloat16), oh16
+                ).reshape(-1, 6 * n_nodes)
             h_p = jnp.einsum("prkd,prke->pkde", jac, jac, precision=hi)
             oh32 = jax.nn.one_hot(s_.knn_idx, n_nodes, dtype=jnp.float32)
             blocks_d = jnp.einsum("pkn,pkde->nde", oh32, h_p, precision=hi)
@@ -1183,7 +1250,7 @@ def solve(
             # battery 2.5 -> 4.2 mm), so rejections DO rebuild.
             chol = jax.lax.cond(
                 (it == 0) | ~need_relin,
-                lambda: jnp.linalg.inv(
+                lambda: spd6_inv(
                     blocks_full + jax.vmap(jnp.diag)(damp.reshape(n_nodes, 6))
                 ),
                 lambda: chol,

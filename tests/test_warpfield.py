@@ -118,3 +118,73 @@ def test_insert_nodes_respects_capacity():
     f2 = warpfield.insert_nodes(cfg, f, cand, jnp.ones(3, bool))
     assert int(f2.count) == 9  # only one free slot
     assert bool(f2.active.all())
+
+
+def test_adaptive_radius_tracks_density():
+    """dg_w from local sampling density (paper §3.4): nodes in a dense
+    cluster get smaller radii than isolated ones."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, node_radius_adaptive=True, node_sample_step=1,
+        node_radius_min=0.01, node_radius_max=0.5, node_radius_knn=2,
+    )
+    # 6 tightly clustered + 3 spread out
+    pts = np.array(
+        [[0, 0, 1], [0.02, 0, 1], [0, 0.02, 1], [0.02, 0.02, 1],
+         [0.01, 0.01, 1.02], [0.02, 0, 1.02],
+         [0.4, 0.4, 1.4], [-0.4, 0.4, 1.4], [0.4, -0.4, 1.4]],
+        np.float32,
+    )
+    f = warpfield.init_from_cloud(cfg, jnp.asarray(pts), jnp.ones(9, bool))
+    r = np.asarray(f.radius)[:9]
+    assert r[:6].max() < 0.05
+    assert r[6:].min() > 0.2
+
+
+def test_node_lifecycle_retires_and_reuses():
+    """Capacity lifecycle: a FULL field retires nodes without surface
+    support for > node_retire_after frames and reuses their slots for
+    new surface (VERDICT r4 #4)."""
+    import dataclasses
+
+    cap = 8
+    cfg = dataclasses.replace(
+        CFG, max_nodes=cap, node_sample_step=1, node_retire_after=5,
+        node_support_radius=0.05, node_coverage=0.04,
+    )
+    # fill the field exactly to capacity
+    base = np.stack(
+        np.meshgrid([-0.1, 0.1], [-0.1, 0.1], [0.9, 1.1], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.float32)
+    f = warpfield.init_from_cloud(cfg, jnp.asarray(base), jnp.ones(cap, bool))
+    assert int(f.count) == cap
+
+    # frames 1..10: only HALF the nodes keep support; new surface appears
+    # far away (uncovered candidates) but the field is full
+    supported = jnp.asarray(base[:4])
+    new_surface = jnp.asarray([[0.5, 0.5, 1.3], [0.5, -0.5, 1.3]], jnp.float32)
+    cands = jnp.concatenate([supported, new_surface], axis=0)
+    val = jnp.ones(len(cands), bool)
+    for t in range(1, 7):
+        f = warpfield.insert_nodes(cfg, f, cands, val, frame_idx=t)
+        if t <= cfg.node_retire_after:
+            # nothing retired yet; full field -> no insertion either
+            assert int(f.count) == cap, t
+
+    # after the horizon: the 4 unsupported nodes retire, slots reused by
+    # the (decimated) new-surface candidates
+    act = np.asarray(f.active)
+    pos = np.asarray(f.positions)
+    assert int(f.count) < cap + 1
+    # the supported originals survive
+    for p in base[:4]:
+        d = np.linalg.norm(pos[act] - p, axis=-1).min()
+        assert d < 1e-5
+    # at least one new-surface node exists
+    dnew = np.linalg.norm(pos[act] - np.asarray([0.5, 0.5, 1.3]), axis=-1).min()
+    assert dnew < 1e-5
+    # the unsupported originals are gone
+    for p in base[4:]:
+        d = np.linalg.norm(pos[act] - p, axis=-1).min()
+        assert d > 0.05
