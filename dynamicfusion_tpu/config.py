@@ -182,6 +182,13 @@ class DynamicFusionConfig:
     # — static accuracy equal to secant, but still 41 mm on the rigid
     # orbit gate; see the measured record in ops/tsdf.py.
     raycast_refine: str = "secant"
+    # Adaptive march-step doubling in observed deep free space (2x the
+    # base step where tsdf ~ +1). True is the single-chip default (a
+    # measured march win); the sharded slab-local raycast always marches
+    # FIXED steps on a globally aligned t-grid so every device samples
+    # the same points (parallel/sharded_raycast.py) — set False to make
+    # a single-device raycast bitwise-comparable to it.
+    raycast_adaptive_step: bool = True
     # True = the reference's six-sample central-difference normals
     # (tsdf_volume.cu:408-426, 48 extra gathers/pixel); False = exact
     # in-cell gradient of the trilinear interpolant (8 gathers, shared with
@@ -348,6 +355,12 @@ class DynamicFusionConfig:
     solver_p2p_gate_cond: float = 0.01
     # explained-fraction floor of the translation fit (ramps to 1)
     solver_p2p_gate_fit: float = 0.35
+    # output gain: gate = clip(gain * cond_term * fit_term). Measured
+    # on-object gate levels (8-frame noise-on diag, round 5): hinge
+    # ~0.55, bulge bump ~0.16 — the separation is right but articulated
+    # surfaces should saturate to FULL tangential weight; gain 2 maps
+    # hinge -> ~1.0 while the bulge stays ~0.3.
+    solver_p2p_gate_gain: float = 2.0
     # Assemble the data-term JtJ from int8-quantized Jacobian rows with
     # per-COLUMN scales (A = Q diag(c) factors EXACTLY through the syrk:
     # A^T A = diag(c) Q^T Q diag(c), so the only error is the <=0.4%

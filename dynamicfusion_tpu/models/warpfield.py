@@ -17,6 +17,7 @@ vertices are decimated by a coverage-cell hash and appended into free slots.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Tuple
 
@@ -27,6 +28,25 @@ from dynamicfusion_tpu.config import DynamicFusionConfig
 from dynamicfusion_tpu.core import dualquat
 
 _BIG = 1e9
+
+
+@functools.lru_cache(maxsize=32)
+def _fair_perm(p: int) -> "jnp.ndarray":
+    """Fixed pseudo-random permutation of [0, p) (compile-time constant).
+
+    Candidate truncation at node capacity (``jnp.nonzero(size=cap)`` and
+    the free-slot rank cut) otherwise keeps candidates in RASTER order —
+    model-map pixels left-to-right, i.e. -x before +x in world — so
+    whenever capacity is tight the +x side of the scene systematically
+    loses node coverage. Measured (round 5, hinge hold-out diag): the +x
+    sphere at 0.62 surface coverage vs 0.92 for the -x sphere, the
+    deficit FOLLOWING a mirrored input — a pure pipeline asymmetry.
+    Permuting candidates first makes the truncated subset spatially
+    uniform. Returns a NUMPY array (a fresh jnp constant per trace —
+    caching a device array across jit traces leaks tracers)."""
+    import numpy as _np
+
+    return _np.random.RandomState(0).permutation(p).astype(_np.int32)
 
 
 class WarpField(NamedTuple):
@@ -93,6 +113,12 @@ def init_from_cloud(
     val = valid[::step]
     n = cfg.max_nodes
 
+    # fair capacity truncation: permute candidates so dropping the tail
+    # drops a spatially-uniform subset, not the +x end of the raster
+    # order (see _fair_perm)
+    perm = _fair_perm(pts.shape[0])
+    pts = jnp.take(pts, perm, axis=0)
+    val = jnp.take(val, perm)
     (sel,) = jnp.nonzero(val, size=n, fill_value=-1)
     ok = sel >= 0
     pos = jnp.where(ok[:, None], jnp.take(pts, jnp.maximum(sel, 0), axis=0), 0.0)
@@ -366,7 +392,12 @@ def _insert_nodes_impl(
     keep = jnp.zeros_like(uncovered).at[order].set(keep_sorted)
 
     free = jnp.maximum(cap - field.count, 0)
-    (sel,) = jnp.nonzero(keep, size=cap, fill_value=-1)
+    # fair free-slot rationing: permute candidates before the rank cut so
+    # a tight capacity drops a spatially-uniform subset (see _fair_perm)
+    perm = _fair_perm(keep.shape[0])
+    keep_p = jnp.take(keep, perm)
+    (sel_p,) = jnp.nonzero(keep_p, size=cap, fill_value=-1)
+    sel = jnp.where(sel_p >= 0, jnp.take(perm, jnp.maximum(sel_p, 0)), -1)
     slot_rank = jnp.arange(cap)
     ok = (sel >= 0) & (slot_rank < free)
     new_pos = jnp.take(candidates, jnp.maximum(sel, 0), axis=0)

@@ -36,8 +36,11 @@ equivalent of that locality is the brick window + MXU lookup.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +50,14 @@ from dynamicfusion_tpu.models import volume as volume_model
 from dynamicfusion_tpu.models.volume import TsdfVolume
 
 _ZEPS = 1e-3  # meters; bricks not strictly in front of the camera -> band
+
+
+@functools.lru_cache(maxsize=8)
+def _brick_perm(nbr: int) -> np.ndarray:
+    """Fixed fair permutation of brick ids for cap overflow (see the
+    prioritized band selection in integrate_bricks). Numpy (a fresh jnp
+    constant per trace — caching device arrays across traces leaks)."""
+    return np.random.RandomState(1).permutation(nbr).astype(np.int32)
 
 
 # --------------------------------------------------------------------------
@@ -190,6 +201,13 @@ class BrickClasses(NamedTuple):
     cls: jnp.ndarray   # (NBR,) int32
     u0: jnp.ndarray    # (NBR,) int32 rect origin col (band bricks)
     v0: jnp.ndarray    # (NBR,) int32 rect origin row
+    # band-brick priority: the brick's depth range intersects its ray-
+    # distance range (it may STRADDLE the surface). Non-surf band bricks
+    # are free space contaminated by invalid pixels (under sensor noise
+    # the all-valid FRONT test almost never passes, so free space floods
+    # the band class); when the band cap overflows, these are the ones
+    # to drop — see integrate_bricks.
+    surf: jnp.ndarray  # (NBR,) bool
 
 
 def classify(
@@ -270,7 +288,10 @@ def classify(
 
     u0 = jnp.clip(jnp.floor(umin).astype(jnp.int32), 0, max(cols - rect, 0))
     v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32), 0, max(rows - rect, 0))
-    return BrickClasses(cls=cls, u0=u0, v0=v0)
+    # surface proximity: the observed depth range over the footprint
+    # intersects the brick's ray-distance range (+- truncation)
+    surf = (dmaxv + trunc >= rmin) & (dminv - trunc <= rmax)
+    return BrickClasses(cls=cls, u0=u0, v0=v0, surf=surf)
 
 
 # --------------------------------------------------------------------------
@@ -574,7 +595,31 @@ def integrate_bricks(
     # index nbr, while -1 would WRAP (negative indexing) and corrupt the
     # last brick
     (front_ids,) = jnp.nonzero(cls == FRONT, size=nbr, fill_value=nbr)
-    (band_ids,) = jnp.nonzero(cls == BAND, size=band_cap, fill_value=nbr)
+    # PRIORITIZED band selection (round 5): surface-straddling bricks
+    # first, then free-space band bricks in a FIXED fair permutation.
+    # Without this, a cap overflow drops bricks from the END of the
+    # x-major brick order — measured wiping the +x half of a scene's
+    # surface (hinge hold-out: the +x sphere at 0.60 coverage because
+    # sensor noise floods the band class with free-space bricks and the
+    # cap overflowed at frame 0). Surface bricks are only dropped once
+    # THEY alone exceed the cap; dropped free-space bricks merely delay
+    # carving and are spatially uniform. The exact `dropped` count below
+    # still reports every truncation.
+    band = cls == BAND
+    (ids_hi,) = jnp.nonzero(band & bc.surf, size=band_cap, fill_value=nbr)
+    n_hi = jnp.minimum(jnp.sum(band & bc.surf), band_cap)
+    perm = _brick_perm(nbr)
+    lo_mask = jnp.take(band & ~bc.surf, perm)
+    (ids_lo_p,) = jnp.nonzero(lo_mask, size=band_cap, fill_value=nbr)
+    ids_lo = jnp.where(
+        ids_lo_p < nbr, jnp.take(perm, jnp.minimum(ids_lo_p, nbr - 1)), nbr
+    )
+    slot = jnp.arange(band_cap)
+    band_ids = jnp.where(
+        slot < n_hi,
+        ids_hi,
+        jnp.take(ids_lo, jnp.clip(slot - n_hi, 0, band_cap - 1)),
+    )
     (wide_ids,) = jnp.nonzero(cls == WIDE, size=wide_cap, fill_value=nbr)
 
     tb = to_bricks(vol.tsdf, b)

@@ -356,12 +356,62 @@ def raycast(
         tmin = jnp.where(seeded, jnp.clip(ts0 - m, tmin, tmax), tmin)
         tmax = jnp.where(seeded, jnp.minimum(ts0 + m, tmax), tmax)
 
+    samplers = (
+        lambda p: fetch_nearest(tsdf, p),
+        lambda p: interpolate(tsdf, p),
+        lambda p: interpolate_with_gradient(tsdf, p),
+    )
+    found, ts, vertex_vol, normal_vol, _ = march_and_refine(
+        cfg, samplers, ray_org, dirs, tmin, tmax, vol_size,
+        adaptive_double=cfg.raycast_adaptive_step,
+    )
+
+    nn = jnp.linalg.norm(normal_vol, axis=-1, keepdims=True)
+    normal_vol = normal_vol / jnp.maximum(nn, 1e-12)
+
+    valid = found & ~jnp.isnan(normal_vol).any(axis=-1) & (nn[..., 0] > 1e-12)
+
+    # back to camera frame (HIGHEST: metric points, see dirs above)
+    hi = jax.lax.Precision.HIGHEST
+    r_vc = r_cv.T
+    vertex_cam = jnp.matmul(vertex_vol - ray_org, r_vc.T, precision=hi)
+    normal_cam = jnp.matmul(normal_vol, r_vc.T, precision=hi)
+
+    return RaycastResult(
+        points=jnp.where(valid[..., None], vertex_cam, NAN),
+        normals=jnp.where(valid[..., None], normal_cam, NAN),
+    )
+
+
+def march_and_refine(
+    cfg: DynamicFusionConfig,
+    samplers,
+    ray_org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    tmin: jnp.ndarray,
+    tmax: jnp.ndarray,
+    vol_size: float,
+    adaptive_double: bool = True,
+):
+    """The raycast core over an ABSTRACT volume sampler triple
+    ``(fetch_nearest(p_vox), interpolate(p_vox),
+    interpolate_with_gradient(p_vox))`` — shared by the single-device
+    cubic raycast above and the slab-local sharded raycast
+    (parallel/sharded_raycast.py), so the march/refine semantics cannot
+    drift between them. Returns (found, ts, vertex_vol, normal_vol) in
+    the volume frame; ``normal_vol`` is UNNORMALIZED."""
+    vs = cfg.voxel_size
+    trunc = volume_model.trunc_dist(cfg)
+    step = trunc * cfg.raycast_step_factor
+    fetch_n, interp, interp_grad = samplers
+    rows, cols = tmin.shape
+
     n_steps = int(math.ceil(math.sqrt(3.0) * vol_size / step)) + 1
     inv_vs = 1.0 / vs
 
     def fetch(t):
         p = (ray_org + dirs * t[..., None]) * inv_vs
-        return fetch_nearest(tsdf, p)
+        return fetch_n(p)
 
     tsdf0 = fetch(tmin)
     state = dict(
@@ -371,6 +421,7 @@ def raycast(
         found=jnp.zeros((rows, cols), bool),
         t_hit=jnp.zeros((rows, cols), jnp.float32),
         dt_hit=jnp.full((rows, cols), step, jnp.float32),
+        t_behind=jnp.full((rows, cols), jnp.inf),
         tsdf_prev=tsdf0,
     )
     if cfg.raycast_refine in ("newton8", "newton16", "hybrid16"):
@@ -385,7 +436,10 @@ def raycast(
         # (tsdf ~ +1 means the surface is at least one truncation away);
         # base step inside/near the band — same crossing-bracketing
         # guarantee as the reference's fixed trunc*0.75 stepping.
-        dt = jnp.where(st["tsdf_prev"] > 0.99, 2.0 * step, step)
+        if adaptive_double:
+            dt = jnp.where(st["tsdf_prev"] > 0.99, 2.0 * step, step)
+        else:
+            dt = jnp.full_like(st["tsdf_prev"], step)
         tnext = st["t"] + dt
         active = ~st["done"] & (st["t"] < tmax)
         tsdf_next = fetch(tnext)
@@ -398,6 +452,9 @@ def raycast(
             found=st["found"] | crossing,
             t_hit=jnp.where(crossing, st["t"], st["t_hit"]),
             dt_hit=jnp.where(crossing, dt, st["dt_hit"]),
+            # first exit-geometry event (the sharded raycast's cross-slab
+            # first-event ordering needs it; single-device callers ignore)
+            t_behind=jnp.where(behind, st["t"], st["t_behind"]),
             tsdf_prev=jnp.where(active, tsdf_next, st["tsdf_prev"]),
         )
         if "f0" in st:  # newton8 refine: bracket endpoint values
@@ -444,16 +501,12 @@ def raycast(
             f0 / jnp.where(jnp.abs(f0 - f1) > 1e-12, f0 - f1, 1e-12), 0.0, 1.0
         )
         t_m = t_hit + dt_hit * alpha0
-        f_m, _ = interpolate_with_gradient(
-            tsdf, ((ray_org + dirs * t_m[..., None]) * inv_vs)
-        )
+        f_m, _ = interp_grad((ray_org + dirs * t_m[..., None]) * inv_vs)
         f_m0 = jnp.nan_to_num(f_m)
         d1 = jnp.clip(-f_m0 / slope_march, -dt_hit, dt_hit)
         t_c = t_m + d1
         # exact evaluation 2: the corrected point (also yields the normal)
-        f_c, normal_vol = interpolate_with_gradient(
-            tsdf, ((ray_org + dirs * t_c[..., None]) * inv_vs)
-        )
+        f_c, normal_vol = interp_grad((ray_org + dirs * t_c[..., None]) * inv_vs)
         f_c0 = jnp.nan_to_num(f_c)
         # secant slope over the TWO EXACT values — superlinear update with
         # no nearest-fetch noise; degenerate spacing falls back to the
@@ -472,7 +525,7 @@ def raycast(
         vertex_vol = ray_org + dirs * ts[..., None]
         if cfg.raycast_smooth_normals:
             grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
-            normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+            normal_vol = _grad6(interp, vertex_vol * inv_vs, grad_delta)
     elif cfg.raycast_refine in ("newton8", "newton16"):
         # 8/16-gather refine: the NEAREST-fetched bracket endpoint values
         # from the march (free) give a secant estimate INSIDE the band;
@@ -501,7 +554,7 @@ def raycast(
         n_newton = 2 if cfg.raycast_refine == "newton16" else 1
         for _ in range(n_newton):
             p0 = (ray_org + dirs * ts[..., None]) * inv_vs
-            f_v, normal_vol = interpolate_with_gradient(tsdf, p0)
+            f_v, normal_vol = interp_grad(p0)
             dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
             ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
             good2 = (
@@ -513,7 +566,7 @@ def raycast(
         vertex_vol = ray_org + dirs * ts[..., None]
         if cfg.raycast_smooth_normals:
             grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
-            normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+            normal_vol = _grad6(interp, vertex_vol * inv_vs, grad_delta)
     else:
         # refine: Ts = t - dt*Ft/(Ftdt - Ft) with trilinear Ft, Ftdt.
         # REJECTED cheaper variants (keep the 24-gather secant + polish):
@@ -527,8 +580,8 @@ def raycast(
         #     average slope over the bracket is immune to the plateau.
         p_curr = (ray_org + dirs * t_hit[..., None]) * inv_vs
         p_next = (ray_org + dirs * (t_hit + dt_hit)[..., None]) * inv_vs
-        ft = interpolate(tsdf, p_curr)
-        ftdt = interpolate(tsdf, p_next)
+        ft = interp(p_curr)
+        ftdt = interp(p_next)
         denom = ftdt - ft
         ts = t_hit - dt_hit * ft / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
         ts = jnp.where(jnp.isnan(ft) | jnp.isnan(ftdt), t_hit, ts)
@@ -536,12 +589,12 @@ def raycast(
         vertex_vol = ray_org + dirs * ts[..., None]
         if cfg.raycast_smooth_normals:
             grad_delta = jnp.full((3,), cfg.gradient_delta_factor, jnp.float32)
-            normal_vol = gradient(tsdf, vertex_vol * inv_vs, grad_delta)
+            normal_vol = _grad6(interp, vertex_vol * inv_vs, grad_delta)
         else:
             # second fused fetch: Newton polish of the crossing
             # (better-than-reference sub-step accuracy for free) + the in-cell
             # gradient for the normal
-            f_v, normal_vol = interpolate_with_gradient(tsdf, vertex_vol * inv_vs)
+            f_v, normal_vol = interp_grad(vertex_vol * inv_vs)
             dfdt = jnp.sum(normal_vol * dirs, axis=-1) * inv_vs
             ts2 = ts - f_v / jnp.where(jnp.abs(dfdt) > 1e-12, dfdt, 1e-12)
             good2 = (
@@ -551,21 +604,17 @@ def raycast(
             )
             ts = jnp.where(good2, ts2, ts)
             vertex_vol = ray_org + dirs * ts[..., None]
-    nn = jnp.linalg.norm(normal_vol, axis=-1, keepdims=True)
-    normal_vol = normal_vol / jnp.maximum(nn, 1e-12)
+    return found, ts, vertex_vol, normal_vol, st["t_behind"]
 
-    valid = found & ~jnp.isnan(normal_vol).any(axis=-1) & (nn[..., 0] > 1e-12)
 
-    # back to camera frame (HIGHEST: metric points, see dirs above)
-    hi = jax.lax.Precision.HIGHEST
-    r_vc = r_cv.T
-    vertex_cam = jnp.matmul(vertex_vol - ray_org, r_vc.T, precision=hi)
-    normal_cam = jnp.matmul(normal_vol, r_vc.T, precision=hi)
-
-    return RaycastResult(
-        points=jnp.where(valid[..., None], vertex_cam, NAN),
-        normals=jnp.where(valid[..., None], normal_cam, NAN),
-    )
+def _grad6(interp, p_voxels, delta_voxels):
+    """Six-sample central-difference gradient via an abstract interp
+    sampler (the reference's compute_normal semantics — see gradient())."""
+    comps = []
+    for axis in range(3):
+        e = jnp.zeros(3, jnp.float32).at[axis].set(1.0) * delta_voxels[axis]
+        comps.append(interp(p_voxels + e) - interp(p_voxels - e))
+    return jnp.stack(comps, axis=-1)
 
 
 def raycast_coarse_band(

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynamicfusion_tpu.config import DynamicFusionConfig
-from dynamicfusion_tpu.parallel import distributed_gn, sharded_fusion
+from dynamicfusion_tpu.parallel import distributed_gn, sharded_fusion, sharded_raycast
 from dynamicfusion_tpu.pipeline import kinfu
 
 
@@ -111,11 +111,22 @@ def make_sharded_step(
         and (cfg.volume_dims // mesh.shape[axis]) % cfg.brick_size == 0
         else None
     )
+    # slab-local model raycast (zero per-trip collectives; the GSPMD
+    # fallback all-reduces an image per march trip — SCALING.md §2)
+    raycast_fn = (
+        sharded_raycast.make_sharded_raycast(cfg, mesh, axis)
+        if explicit_gn
+        and cfg.volume_dims % mesh.shape[axis] == 0
+        and (cfg.volume_dims // mesh.shape[axis])
+        >= sharded_raycast._halo_planes(cfg)
+        else None
+    )
 
     def _step(state, depth):
         state, out = kinfu.step(
             cfg, state, depth, warp_system_fn=system_fn, warp_eval_fn=eval_fn,
             integrate_fn=integrate_fn, warp_solve_fn=solve_fn,
+            raycast_fn=raycast_fn,
         )
         return state, out
 

@@ -143,6 +143,7 @@ def _model_maps(
     t_seed: jnp.ndarray | None = None,
     dq_grid: jnp.ndarray | None = None,
     t_band: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    raycast_fn=None,
 ):
     """Raycast the canonical model at `pose` (at 1/cfg.raycast_subsample
     resolution, seeded by the live dists when given); return (tracking
@@ -162,7 +163,7 @@ def _model_maps(
             if _use_coarse_band(cfg, rows_t, cols_t)
             else None
         )
-    res = tsdf_ops.raycast(
+    res = (raycast_fn or tsdf_ops.raycast)(
         cfg,
         vol,
         cam2vol,
@@ -326,7 +327,8 @@ def _p2p_gate(
     f0 = cfg.solver_p2p_gate_fit
     gate_fit = jnp.clip((expl - f0) / max(1.0 - f0, 1e-6), 0.0, 1.0)
     enough = cnt > 0.15 * (w * w)
-    return jnp.where(enough, gate_cond * gate_fit, 0.0)
+    gate = jnp.clip(cfg.solver_p2p_gate_gain * gate_cond * gate_fit, 0.0, 1.0)
+    return jnp.where(enough, gate, 0.0)
 
 
 def init_state(cfg: DynamicFusionConfig) -> PipelineState:
@@ -360,9 +362,18 @@ def first_frame(cfg: DynamicFusionConfig, state: PipelineState, depth_mm: jnp.nd
     vol = tsdf_ops.integrate(cfg, state.vol, dists, vol2cam, cfg.intr)
 
     # min_weight=1: after the single frame-0 integrate every observed voxel
-    # has weight exactly 1 — the evidence threshold would sample no nodes
+    # has weight exactly 1 — the evidence threshold would sample no nodes.
+    # The cap must EXCEED the scene's crossing count: extract_cloud's
+    # nonzero truncates in x-major voxel order, so an undersized cap
+    # samples frame-0 nodes ONLY from the low-x surface — measured (round
+    # 5, hinge hold-out): the +x sphere ends at 0.61 surface coverage vs
+    # 0.92 for -x because it never gets warp support. ~250k crossings at
+    # the bench scene vs the old max_nodes*node_sample_step = 51200 cap.
     cloud = tsdf_ops.extract_cloud(
-        cfg, vol, max_points=cfg.max_nodes * cfg.node_sample_step, min_weight=1.0
+        cfg,
+        vol,
+        max_points=max(cfg.max_nodes * cfg.node_sample_step, 1 << 20),
+        min_weight=1.0,
     )
     warp = warpfield.init_from_cloud(cfg, cloud.points, cloud.valid)
 
@@ -389,6 +400,7 @@ def step(
     warp_eval_fn=None,
     integrate_fn=None,
     warp_solve_fn=None,
+    raycast_fn=None,
 ) -> Tuple[PipelineState, StepOutputs]:
     """One full DynamicFusion frame (KinFu::operator() + dynamicfusion()).
 
@@ -447,6 +459,7 @@ def step(
                 if cfg.raycast_temporal_band
                 else None
             ),
+            raycast_fn=raycast_fn,
         )
         new_state = PipelineState(
             vol=vol,
@@ -492,7 +505,7 @@ def step(
                 if _use_coarse_band(cfg, rows_t, cols_t)
                 else None
             )
-        model = tsdf_ops.raycast(
+        model = (raycast_fn or tsdf_ops.raycast)(
             cfg,
             state.vol,
             cam2vol,
@@ -661,6 +674,7 @@ def step(
             if cfg.raycast_temporal_band
             else None
         ),
+        raycast_fn=raycast_fn,
     )
 
     new_state = PipelineState(

@@ -31,7 +31,12 @@ def test_init_from_cloud():
     f = _cube_field()
     assert int(f.count) == 8
     assert bool(f.active[:8].all()) and not bool(f.active[8:].any())
-    np.testing.assert_allclose(np.asarray(f.positions[:8]), CUBE, atol=1e-6)
+    # node ORDER follows the fair capacity permutation (warpfield._fair_perm);
+    # compare as a set
+    got = np.asarray(f.positions[:8])
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = CUBE[np.lexsort(CUBE.T)]
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-6)
 
 
 def test_knn_exact_vs_numpy():
@@ -40,7 +45,8 @@ def test_knn_exact_vs_numpy():
     q = rng.randn(50, 3).astype(np.float32)
     d2, idx = warpfield.knn(f, jnp.asarray(q), k=4)
     d2, idx = np.asarray(d2), np.asarray(idx)
-    ref = np.sum((q[:, None, :] - CUBE[None]) ** 2, axis=-1)
+    nodes = np.asarray(f.positions[:8])  # slot order follows _fair_perm
+    ref = np.sum((q[:, None, :] - nodes[None]) ** 2, axis=-1)
     ref_idx = np.argsort(ref, axis=1)[:, :4]
     ref_d2 = np.take_along_axis(ref, ref_idx, axis=1)
     np.testing.assert_allclose(np.sort(d2, axis=1), np.sort(ref_d2, axis=1), rtol=2e-5, atol=1e-5)
@@ -51,9 +57,10 @@ def test_knn_exact_vs_numpy():
 
 def test_knn_ignores_inactive():
     f = _cube_field()
-    # deactivate node 0 (1,1,1); query right on it must not return it
+    # deactivate slot 0; a query right on that node must not return it
+    p0 = f.positions[0]
     f = f._replace(active=f.active.at[0].set(False))
-    d2, idx = warpfield.knn(f, jnp.asarray([[1.0, 1.0, 1.0]]), k=8)
+    d2, idx = warpfield.knn(f, p0[None, :], k=8)
     assert 0 not in np.asarray(idx)[0][np.asarray(d2)[0] < 1e8].tolist()
 
 
@@ -137,9 +144,17 @@ def test_adaptive_radius_tracks_density():
         np.float32,
     )
     f = warpfield.init_from_cloud(cfg, jnp.asarray(pts), jnp.ones(9, bool))
-    r = np.asarray(f.radius)[:9]
-    assert r[:6].max() < 0.05
-    assert r[6:].min() > 0.2
+    # slot order follows the fair permutation: look radii up by position
+    pos = np.asarray(f.positions)
+    act = np.asarray(f.active)
+    rad = np.asarray(f.radius)
+    def radius_of(p):
+        d = np.linalg.norm(pos - p, axis=-1)
+        i = int(np.argmin(np.where(act, d, 1e9)))
+        assert d[i] < 1e-5
+        return rad[i]
+    assert max(radius_of(p) for p in pts[:6]) < 0.05
+    assert min(radius_of(p) for p in pts[6:]) > 0.2
 
 
 def test_node_lifecycle_retires_and_reuses():
