@@ -473,9 +473,18 @@ def _rect_lookup(
     row-gather window extraction + 3-way bf16-split one-hot matmuls looks
     ~10x cheaper on paper (no (rect, H) @ (H, W) full-image matmul), but
     measured 38 -> 60 ms on the integrate phase at bench shape — the v5e
-    runs these f32-HIGHEST one-hot matmuls near MXU rate, while the 2D-index
+    runs these one-hot matmuls near MXU rate, while the 2D-index
     row gather + tripled dot count + (BV, rect) f32 intermediates lose on
-    bandwidth."""
+    bandwidth.
+
+    REJECTED (round 5, measured): int8 BYTE-PLANE window matmuls (bitcast
+    the f32 image into 4 int8 planes, transport bytes with s32-accumulate
+    one-hot dots — exact for any payload). The byte planes QUADRUPLE the
+    MAC count, which cancels the int8 MXU rate advantage exactly: the
+    band-lookup while-loop measured 10.1 -> 14.2 ms/step device time on
+    the rigid trace. The six-pass f32-HIGHEST dot moves 32 bits per MAC;
+    int8 planes move 8 — byte-planing only wins where the payload is
+    genuinely narrow."""
     h, w = dists.shape
     k, bv = ri.shape
 
@@ -666,19 +675,31 @@ def integrate_bricks(
 
     # ---- wide bricks (footprint > window, near camera): direct gather ----
     if wide_cap > 0:
-        ids = jnp.minimum(wide_ids, nbr - 1)
-        corner_idx = _corner_indices(d, b, g, ids)
-        ptsq = _voxel_positions(cam_flat, corner_idx, b, g)
-        pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
-        ui, vi, inb, rdist = _project(pts, intr, rows, cols)
-        flat = jax.lax.optimization_barrier(vi * cols + ui)
-        v = jnp.take(lookup_flat, flat)
-        dp, ow = depth_conf(jax.lax.optimization_barrier(v))
-        bt = jnp.take(tb, ids, axis=0)
-        bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb, qv, ow)
-        tb = tb.at[wide_ids].set(new_bt, mode="drop")
-        wb = wb.at[wide_ids].set(new_bw, mode="drop")
+        def _wide_update(tb, wb):
+            ids = jnp.minimum(wide_ids, nbr - 1)
+            corner_idx = _corner_indices(d, b, g, ids)
+            ptsq = _voxel_positions(cam_flat, corner_idx, b, g)
+            pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
+            ui, vi, inb, rdist = _project(pts, intr, rows, cols)
+            flat = jax.lax.optimization_barrier(vi * cols + ui)
+            v = jnp.take(lookup_flat, flat)
+            dp, ow = depth_conf(jax.lax.optimization_barrier(v))
+            bt = jnp.take(tb, ids, axis=0)
+            bw = jnp.take(wb, ids, axis=0)
+            new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb, qv, ow)
+            return (
+                tb.at[wide_ids].set(new_bt, mode="drop"),
+                wb.at[wide_ids].set(new_bw, mode="drop"),
+            )
+
+        # wide bricks only occur with surface very close to the camera
+        # (footprint > the rect window); on typical frames there are NONE,
+        # yet the cap-sized random gather + fuse ran unconditionally
+        # (~4 ms/frame static cost, round-5 rigid trace). lax.cond executes
+        # the branch only when wide bricks exist.
+        tb, wb = jax.lax.cond(
+            jnp.any(cls == WIDE), _wide_update, lambda tb, wb: (tb, wb), tb, wb
+        )
 
     out = TsdfVolume(from_bricks(tb, d, b), from_bricks(wb, d, b))
     if with_counts:

@@ -38,9 +38,14 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dir", default="/tmp/df_trace")
+    ap.add_argument("--rigid", action="store_true",
+                    help="trace the plain-KinectFusion path (bench --rigid config)")
     args = ap.parse_args()
 
     cfg = DynamicFusionConfig.default_dynamicfusion()
+    if args.rigid:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, rigid_only=True, raycast_refine="secant")
     df = kinfu.DynamicFusion(cfg)
     frames = []
     for t in range(args.steps + 2):
