@@ -488,6 +488,38 @@ def _rect_lookup(
     h, w = dists.shape
     k, bv = ri.shape
 
+    pad = (-k) % chunk
+    v0p = jnp.pad(v0, (0, pad))
+    u0p = jnp.pad(u0, (0, pad))
+    rip = jnp.pad(ri, ((0, pad), (0, 0)))
+    cip = jnp.pad(ci, ((0, pad), (0, 0)))
+    n = (k + pad) // chunk
+    dp = jax.lax.map(
+        lambda t: _rect_window_chunk(dists, t[0], t[1], t[2], t[3], rect),
+        (
+            v0p.reshape(n, chunk),
+            u0p.reshape(n, chunk),
+            rip.reshape(n, chunk, bv),
+            cip.reshape(n, chunk, bv),
+        ),
+    )
+    return dp.reshape(-1, bv)[:k]
+
+
+def _rect_window_chunk(
+    dists: jnp.ndarray,  # (H, W)
+    v0: jnp.ndarray,     # (C,) rect origins of one brick chunk
+    u0: jnp.ndarray,
+    ri: jnp.ndarray,     # (C, BV)
+    ci: jnp.ndarray,
+    rect: int,
+) -> jnp.ndarray:
+    """One chunk of the one-hot window depth lookup (vmapped per-brick
+    selection; see _rect_lookup). Also the body of integrate_bricks'
+    count-proportional band while-loop."""
+    h, w = dists.shape
+    bv = ri.shape[-1]
+
     hi = jax.lax.Precision.HIGHEST  # exact one-hot selection of f32 depths
 
     def per_brick(v0i, u0i, rii, cii):
@@ -514,22 +546,7 @@ def _rect_lookup(
         t = jnp.dot(row_sel, rct, preferred_element_type=jnp.float32, precision=hi)
         return jnp.sum(t * col_sel, axis=-1)
 
-    pad = (-k) % chunk
-    v0p = jnp.pad(v0, (0, pad))
-    u0p = jnp.pad(u0, (0, pad))
-    rip = jnp.pad(ri, ((0, pad), (0, 0)))
-    cip = jnp.pad(ci, ((0, pad), (0, 0)))
-    n = (k + pad) // chunk
-    dp = jax.lax.map(
-        lambda t: jax.vmap(per_brick)(*t),
-        (
-            v0p.reshape(n, chunk),
-            u0p.reshape(n, chunk),
-            rip.reshape(n, chunk, bv),
-            cip.reshape(n, chunk, bv),
-        ),
-    )
-    return dp.reshape(-1, bv)[:k]
+    return jax.vmap(per_brick)(v0, u0, ri, ci)
 
 
 def integrate_bricks(
@@ -653,25 +670,59 @@ def integrate_bricks(
     wb = wb.at[front_ids].set(new_fw, mode="drop")
 
     # ---- band bricks: windowed matmul depth lookup ----
+    # COUNT-PROPORTIONAL (round 5): this block used to pay its full static
+    # CAP every frame — nonzero(size=cap), cap-row prolongation einsums,
+    # cap window-matmul chunks, cap-row fuse — regardless of how many band
+    # bricks actually exist; at typical clean-scene frames (~650 real band
+    # bricks vs cap 2048) ~2/3 of the rigid integrate was phantom work on
+    # clamped sentinel rows. The real ids form a PREFIX of band_ids
+    # (surface-straddling first, then permuted free-space, sentinel fill
+    # after), so a lax.while_loop over 64-brick chunks with the DYNAMIC
+    # trip count ceil(n_real/64) runs the whole band pipeline only for
+    # chunks that hold real bricks; the cap is now a safety bound, not the
+    # per-frame price. Whole-frame A/B (v5e rigid bench): 32.4 -> see
+    # round-5 notes.
     if band_cap > 0:
-        ids = jnp.minimum(band_ids, nbr - 1)
-        corner_idx = _corner_indices(d, b, g, ids)
-        ptsq = _voxel_positions(cam_flat, corner_idx, b, g)  # (K, BV, 3[+1])
-        pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
-        ui, vi, inb, rdist = _project(pts, intr, rows, cols)
-        u0 = jnp.take(bc.u0, ids)
-        v0 = jnp.take(bc.v0, ids)
-        ri = jnp.clip(vi - v0[:, None], 0, rect - 1)
-        ci = jnp.clip(ui - u0[:, None], 0, rect - 1)
-        # voxels projecting outside the brick's window cannot be inb band
-        # voxels (classification bounds every inb voxel into the window)
-        inw = (vi - v0[:, None] == ri) & (ui - u0[:, None] == ci)
-        dp, ow = depth_conf(_rect_lookup(lookup_img, u0, v0, ri, ci, rect))
-        bt = jnp.take(tb, ids, axis=0)
-        bw = jnp.take(wb, ids, axis=0)
-        new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv, ow)
-        tb = tb.at[band_ids].set(new_bt, mode="drop")
-        wb = wb.at[band_ids].set(new_bw, mode="drop")
+        chunk = 64
+        pad_c = (-band_cap) % chunk
+        ids_pad = (
+            jnp.concatenate([band_ids, jnp.full((pad_c,), nbr, jnp.int32)])
+            if pad_c
+            else band_ids
+        )
+        n_real = jnp.sum((band_ids < nbr).astype(jnp.int32))
+        n_chunks = (n_real + (chunk - 1)) // chunk
+
+        def band_body(carry):
+            i, tb, wb = carry
+            ids_c = jax.lax.dynamic_slice(ids_pad, (i * chunk,), (chunk,))
+            ids = jnp.minimum(ids_c, nbr - 1)
+            corner_idx = _corner_indices(d, b, g, ids)
+            ptsq = _voxel_positions(cam_flat, corner_idx, b, g)  # (c, BV, 3[+1])
+            pts, qv = ptsq[..., :3], (ptsq[..., 3] if q_grid is not None else None)
+            ui, vi, inb, rdist = _project(pts, intr, rows, cols)
+            u0 = jnp.take(bc.u0, ids)
+            v0 = jnp.take(bc.v0, ids)
+            ri = jnp.clip(vi - v0[:, None], 0, rect - 1)
+            ci = jnp.clip(ui - u0[:, None], 0, rect - 1)
+            # voxels projecting outside the brick's window cannot be inb
+            # band voxels (classification bounds every inb voxel into it)
+            inw = (vi - v0[:, None] == ri) & (ui - u0[:, None] == ci)
+            dp, ow = depth_conf(
+                _rect_window_chunk(lookup_img, v0, u0, ri, ci, rect)
+            )
+            bt = jnp.take(tb, ids, axis=0)
+            bw = jnp.take(wb, ids, axis=0)
+            new_bt, new_bw = _fuse_rows(cfg, bt, bw, dp, rdist, inb & inw, qv, ow)
+            return (
+                i + 1,
+                tb.at[ids_c].set(new_bt, mode="drop"),
+                wb.at[ids_c].set(new_bw, mode="drop"),
+            )
+
+        _, tb, wb = jax.lax.while_loop(
+            lambda c: c[0] < n_chunks, band_body, (jnp.int32(0), tb, wb)
+        )
 
     # ---- wide bricks (footprint > window, near camera): direct gather ----
     if wide_cap > 0:
