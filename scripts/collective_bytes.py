@@ -6,20 +6,19 @@ mesh at a given shape, walks the COMPILED HLO (post-SPMD-partitioning, so
 GSPMD-inserted halo exchanges are visible, not just the explicit shard_map
 psums), and reports every collective op with its per-device payload bytes.
 
-Static census only: ops inside while-loop bodies execute once per loop
-trip — the dynamic per-frame model (trip counts, ICI/DCN cost) lives in
-SCALING.md, built from this output.
+Each collective is classified PER-TRIP (inside a while-loop body after
+XLA's loop-invariant hoisting — executed once per loop trip) or
+once-per-execution (utils/hlo_census.py); the dynamic per-frame model
+(trip counts, ICI/DCN cost) lives in SCALING.md, built from this output.
 
 Usage: python scripts/collective_bytes.py [--dims 256 --rows 480 --cols 640
        --nodes 1024] [--out SCALING_data.json]
 """
 
 import argparse
-import collections
 import dataclasses
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -48,52 +47,7 @@ from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics  # noqa: E4
 from dynamicfusion_tpu.parallel import sharded  # noqa: E402
 from dynamicfusion_tpu.pipeline import kinfu  # noqa: E402
 
-DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-}
-
-COLLECTIVES = (
-    "all-reduce", "all-gather", "reduce-scatter", "all-to-all",
-    "collective-permute", "collective-broadcast",
-)
-
-
-def tensor_bytes(sig: str) -> int:
-    """Total bytes of an HLO type signature like
-    'f32[6144,6144]' or '(f32[6144,6144], f32[6144])'."""
-    total = 0
-    for dt, dims in re.findall(r"(\w+)\[([0-9,]*)\]", sig):
-        if dt not in DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * DTYPE_BYTES[dt]
-    return total
-
-
-def census(hlo: str):
-    """Group collective ops by (kind, per-device payload bytes); keep the
-    op_name metadata (the jax source path) of each group's first instance
-    so every byte is attributable."""
-    out = collections.Counter()
-    names = {}
-    for line in hlo.splitlines():
-        m = re.search(r"=\s+(\([^)]*\)|\S+)\s+(" + "|".join(COLLECTIVES) + r")\(", line)
-        if not m:
-            continue
-        sig, kind = m.group(1), m.group(2)
-        # all-reduce-start/done pairs: count the start only
-        if "-done" in line.split("=")[0]:
-            continue
-        key = (kind, tensor_bytes(sig))
-        out[key] += 1
-        nm = re.search(r'op_name="([^"]*)"', line)
-        if nm and key not in names:
-            names[key] = nm.group(1)[-120:]
-    return out, names
+from dynamicfusion_tpu.utils.hlo_census import census  # noqa: E402
 
 
 def main():
@@ -141,20 +95,27 @@ def main():
 
     rows = []
     total = 0
-    for (kind, nbytes), count in sorted(c.items(), key=lambda kv: -kv[0][1]):
-        src = names.get((kind, nbytes), "")
+    per_trip_total = 0
+    for (kind, nbytes, per_trip), count in sorted(c.items(), key=lambda kv: -kv[0][1]):
+        src = names.get((kind, nbytes, per_trip), "")
         rows.append({"op": kind, "payload_bytes": nbytes, "count": count,
-                     "src": src})
+                     "per_trip": per_trip, "src": src})
         total += nbytes * count
-        print(f"  {kind:22s} {nbytes/1e6:10.3f} MB/device  x{count}  {src}",
+        if per_trip:
+            per_trip_total += nbytes * count
+        tag = "PER-TRIP" if per_trip else "        "
+        print(f"  {kind:22s} {nbytes/1e6:10.3f} MB/device  x{count} {tag} {src}",
               flush=True)
-    print(f"static total (one execution of every op): {total/1e6:.1f} MB/device")
+    print(f"static total (one execution of every op): {total/1e6:.1f} MB/device"
+          f"  (per-trip class: {per_trip_total/1e6:.3f} MB x loop trips)")
 
     result = {
         "shape": {"dims": args.dims, "rows": args.rows, "cols": args.cols,
                   "nodes": args.nodes, "devices": 8},
+        "solver": args.solver,
         "collectives": rows,
         "static_total_bytes": total,
+        "per_trip_bytes": per_trip_total,
     }
     print(json.dumps(result))
     if args.out:

@@ -21,7 +21,6 @@ context might read.
 """
 
 import dataclasses
-import re
 
 import jax
 import jax.numpy as jnp
@@ -30,33 +29,17 @@ import pytest
 from dynamicfusion_tpu.config import DynamicFusionConfig, Intrinsics
 from dynamicfusion_tpu.parallel import sharded
 from dynamicfusion_tpu.pipeline import kinfu
-
-DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-}
-COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
-               "collective-permute")
-
-
-def _tensor_bytes(sig):
-    total = 0
-    for dt, dims in re.findall(r"(\w+)\[([0-9,]*)\]", sig):
-        if dt in DTYPE_BYTES:
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            total += n * DTYPE_BYTES[dt]
-    return total
+from dynamicfusion_tpu.utils import hlo_census
 
 
 def _census(hlo):
+    """[(kind, payload_bytes, per_trip)] — per_trip marks collectives
+    living inside a while-loop body AFTER XLA's loop-invariant hoisting,
+    i.e. ops truly paid once per loop trip (utils/hlo_census.py)."""
+    counts, _ = hlo_census.census(hlo)
     out = []
-    for line in hlo.splitlines():
-        m = re.search(r"=\s+(\([^)]*\)|\S+)\s+(" + "|".join(COLLECTIVES) + r")\(", line)
-        if m and "-done" not in line.split("=")[0]:
-            out.append((m.group(2), _tensor_bytes(m.group(1))))
+    for (kind, nbytes, per_trip), count in counts.items():
+        out.extend([(kind, nbytes, per_trip)] * count)
     return out
 
 
@@ -90,14 +73,14 @@ def test_step_collective_budget():
 
     # exactly ONE Schur-round-sized all-reduce (the lagged-JtJ solver's
     # one relinearization per solve)
-    big_ar = [b for k, b in ops if k == "all-reduce" and b >= schur]
+    big_ar = [b for k, b, _ in ops if k == "all-reduce" and b >= schur]
     assert len(big_ar) == 1, big_ar
 
     # nothing volume-sized crosses the wire (apart from the Schur round
     # itself, which at 512 nodes exceeds the 128^3 volume size): the
     # fusion path fuses each shard's bricks locally (sharded_fusion),
     # raycast/integrate halos are plane-sized collective-permutes
-    for kind, nbytes in ops:
+    for kind, nbytes, _ in ops:
         if nbytes >= schur:
             assert kind == "all-reduce" and nbytes == big_ar[0], (kind, nbytes)
         else:
@@ -106,8 +89,26 @@ def test_step_collective_budget():
     # static per-execution total stays within ~1.3x the Schur round — the
     # communication budget is the solver reduction, everything else is
     # small (halos, depth broadcast, eval-gradient psums)
-    total = sum(b for _, b in ops)
+    total = sum(b for _, b, _ in ops)
     assert total < 1.3 * schur + 8e6, total / 1e6
+
+    _assert_march_contract(ops)
+
+
+def _assert_march_contract(ops):
+    """The MARCH contract (VERDICT r4 #3): no image/volume-sized
+    collective executes per loop trip. Round 4's census measured the
+    GSPMD-partitioned raycast march paying ~20-45 MB/frame of image-sized
+    per-trip masked-gather all-reduces from the x-sharded volume;
+    parallel/sharded_raycast.py (slab-local march, one halo exchange +
+    one ownership round per raycast) must keep every PER-TRIP collective
+    solver-vector-sized: the distributed-PCG matvec/eval psums are
+    (6N,)-class (<= 64 KB at contract shape), everything bigger must be
+    loop-invariant (once per step)."""
+    per_trip = [(k, b) for k, b, pt in ops if pt]
+    for kind, nbytes in per_trip:
+        assert nbytes <= 65536, (kind, nbytes, "image-sized per-trip collective")
+    assert sum(b for _, b in per_trip) < 0.5e6, per_trip
 
 
 def test_step_collective_budget_pcg():
@@ -125,17 +126,17 @@ def test_step_collective_budget_pcg():
     vol_bytes = cfg.volume_dims ** 3 * 4
 
     solver_biggest = cfg.max_nodes * 36 * 4  # the (N,6,6) block psum
-    for kind, nbytes in ops:
+    for kind, nbytes, _ in ops:
         assert nbytes < schur, (kind, nbytes, "Gram-sized collective in PCG mode")
         assert nbytes < vol_bytes, (kind, nbytes, "volume-sized collective")
 
     # static total: solver rounds are all (6N,)/(N,6,6)-sized; what remains
-    # is the march-loop fetches + halos + small reshapes (same classes as
-    # the direct mode, which measured ~2.2 MB static beyond the Schur round
-    # at this shape)
-    total = sum(b for _, b in ops)
+    # is the slab-raycast halo permutes + ownership psums + small reshapes
+    total = sum(b for _, b, _ in ops)
     solver_total = sum(
-        b for _, b in ops if b <= solver_biggest
+        b for _, b, _ in ops if b <= solver_biggest
     )
     assert solver_total < 1e6, solver_total / 1e6
     assert total < 12e6, total / 1e6
+
+    _assert_march_contract(ops)
