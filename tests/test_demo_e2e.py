@@ -53,7 +53,7 @@ def test_demo_dataset_e2e(tmp_path):
 
     cfg = DynamicFusionConfig.small(dims=64, rows=120, cols=160)
     frames = []
-    for t in range(8):
+    for t in range(5):
         sp = [
             dict(center=(0.0, 0.0, 0.95), radius=0.22),
             dict(center=(0.2 + 0.01 * np.sin(0.4 * t), 0.1, 0.8), radius=0.1),
@@ -63,7 +63,7 @@ def test_demo_dataset_e2e(tmp_path):
         )
     data_dir = tmp_path / "seq"
     synthetic.write_dataset(str(data_dir), frames)
-    assert len(os.listdir(data_dir / "depth")) == 8
+    assert len(os.listdir(data_dir / "depth")) == 5
 
     out_dir = tmp_path / "out"
     env = dict(
@@ -81,7 +81,7 @@ def test_demo_dataset_e2e(tmp_path):
 
     # rendered frames for every dataset frame
     renders = sorted(p for p in os.listdir(out_dir) if p.startswith("frame_"))
-    assert len(renders) == 8
+    assert len(renders) == 5
 
     # cloud + meshes exist, are non-trivial, and their vertices are finite
     for name, min_verts in (
