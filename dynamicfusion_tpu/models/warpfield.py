@@ -392,12 +392,23 @@ def _insert_nodes_impl(
     keep = jnp.zeros_like(uncovered).at[order].set(keep_sorted)
 
     free = jnp.maximum(cap - field.count, 0)
-    # fair free-slot rationing: permute candidates before the rank cut so
-    # a tight capacity drops a spatially-uniform subset (see _fair_perm)
-    perm = _fair_perm(keep.shape[0])
-    keep_p = jnp.take(keep, perm)
-    (sel_p,) = jnp.nonzero(keep_p, size=cap, fill_value=-1)
-    sel = jnp.where(sel_p >= 0, jnp.take(perm, jnp.maximum(sel_p, 0)), -1)
+    # URGENCY-ordered rationing (round 5): rank uncovered candidates by
+    # distance to their nearest active node, FARTHEST FIRST (farthest-
+    # point sampling), so genuinely NEW surface (a just-appeared object,
+    # cand_d2 >> node_coverage) outcompetes marginal base-scene
+    # undercoverage for scarce slots. The earlier fixed fair permutation
+    # was spatially uniform but starved new objects at saturated
+    # capacity: the 300-frame episode gate (scripts/turnover_run.py)
+    # measured the final transient at coverage ~0 because freed slots
+    # were rationed over ALL undercovered surface. Farthest-first keeps
+    # the fair permutation's virtue (no raster-order truncation bias —
+    # the round-5 band-cap lesson) and adds need-ordering.
+    score = jnp.where(keep, cand_d2, -jnp.inf)
+    k = min(cap, score.shape[0])
+    vals, sel_idx = jax.lax.top_k(score, k)
+    sel = jnp.full((cap,), -1, sel_idx.dtype).at[:k].set(
+        jnp.where(jnp.isfinite(vals), sel_idx, -1)
+    )
     slot_rank = jnp.arange(cap)
     ok = (sel >= 0) & (slot_rank < free)
     new_pos = jnp.take(candidates, jnp.maximum(sel, 0), axis=0)
